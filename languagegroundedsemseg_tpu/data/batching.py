@@ -1,0 +1,93 @@
+"""Capacity-bucketed batch assembly: scenes -> padded TrainBatch + ConvGraph.
+
+Reproduces the reference collate semantics (lib/transforms.py:385-423):
+scenes are concatenated with a batch-index column; a scene that would push
+the batch past ``limit_numpoints`` is dropped whole (the reference truncates
+the batch there too, :405-411). Capacities are rounded up to bucket sizes so
+jit recompiles only a handful of times, then serves from cache.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from languagegroundedsemseg_tpu.sparse.graph_host import (
+    GraphSpec,
+    build_graph,
+    default_capacities,
+    quantize,
+)
+from languagegroundedsemseg_tpu.train.step import TrainBatch
+
+
+def bucket_capacity(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n (last bucket if none fits — caller truncates)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+DEFAULT_BUCKETS = tuple(2 ** k for k in range(13, 22))  # 8k .. 2M voxels
+
+
+@dataclass
+class BatchBuilder:
+    """Builds padded device batches from per-scene voxelized arrays."""
+
+    spec: GraphSpec
+    ignore_index: int = 255
+    limit_numpoints: int = 1_800_000  # reference config/config.py:191
+    buckets: Sequence[int] = DEFAULT_BUCKETS
+    fixed_capacity: Optional[int] = None  # pin cap0 (for jit-stable training)
+    level_ratios: Optional[Sequence[float]] = None
+
+    def capacities(self, cap0: int) -> Tuple[int, ...]:
+        return default_capacities(cap0, self.spec.num_levels, self.level_ratios)
+
+    def build(
+        self,
+        scenes: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    ) -> TrainBatch:
+        """scenes: list of (voxel_coords int32 (N,3), feats (N,F), labels (N,)).
+
+        Coordinates must already be quantized voxel integers (the voxelizer's
+        output); duplicates within a scene are deduped here.
+        """
+        coords_l, feats_l, labels_l = [], [], []
+        total = 0
+        for b, (vc, vf, vl) in enumerate(scenes):
+            if total + len(vc) > self.limit_numpoints and b > 0:
+                break  # drop the remainder of the batch, reference-style
+            bc = np.concatenate(
+                [np.full((len(vc), 1), b, dtype=np.int32), vc.astype(np.int32)], axis=1
+            )
+            coords_l.append(bc)
+            feats_l.append(vf)
+            labels_l.append(vl)
+            total += len(vc)
+
+        coords = np.concatenate(coords_l, axis=0)
+        feats = np.concatenate(feats_l, axis=0).astype(np.float32)
+        labels = np.concatenate(labels_l, axis=0).astype(np.int32)
+
+        # Safety dedup across the batch (scenes are independent via batch col).
+        uniq = quantize(coords)
+        if len(uniq) != len(coords):
+            uniq = np.sort(uniq)
+            coords, feats, labels = coords[uniq], feats[uniq], labels[uniq]
+
+        cap0 = self.fixed_capacity or bucket_capacity(len(coords), self.buckets)
+        if len(coords) > cap0:
+            coords, feats, labels = coords[:cap0], feats[:cap0], labels[:cap0]
+
+        graph = build_graph(coords, self.spec, self.capacities(cap0))
+        n = len(coords)
+        feats_p = np.zeros((cap0, feats.shape[1]), dtype=np.float32)
+        feats_p[:n] = feats
+        labels_p = np.full((cap0,), self.ignore_index, dtype=np.int32)
+        labels_p[:n] = labels
+        return TrainBatch(feats=feats_p, labels=labels_p, graph=graph, extras={})

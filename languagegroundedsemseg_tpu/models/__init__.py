@@ -1,0 +1,50 @@
+"""Model registry — name -> flax module class, mirroring the reference's
+load_model()/load_wrapper() string lookup (reference models/__init__.py:33-50).
+"""
+
+from __future__ import annotations
+
+import inspect
+
+from languagegroundedsemseg_tpu.models import res16unet as _res16unet
+from languagegroundedsemseg_tpu.models.res16unet import Res16UNetBase, res16unet_graph_spec
+
+_REGISTRY: dict[str, type] = {}
+
+
+def register(cls=None, name: str | None = None):
+    def _do(c):
+        _REGISTRY[name or c.__name__] = c
+        return c
+
+    return _do(cls) if cls is not None else _do
+
+
+def _register_module_nets(module):
+    for nm, cls in inspect.getmembers(module, inspect.isclass):
+        if "Net" in nm:
+            _REGISTRY[nm] = cls
+
+
+_register_module_nets(_res16unet)
+
+
+def load_model(name: str) -> type:
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown model {name!r}; available: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name]
+
+
+def available_models() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+__all__ = [
+    "load_model",
+    "available_models",
+    "register",
+    "Res16UNetBase",
+    "res16unet_graph_spec",
+]

@@ -1,0 +1,237 @@
+"""Res16UNet family — the workhorse backbone.
+
+Re-designs reference models/res16unet.py:9-396 for TPU: a 4-level stride-2
+sparse encoder + 4-level transpose-conv decoder with skip concatenations. All
+convs are gather-GEMM ops bound to kernel maps in a ConvGraph built once per
+batch; decoder output coordinate sets equal the encoder levels by
+construction (the transpose maps are exact transposes of the down maps), so
+skip concats align — the invariant ME maintains via its coordinate manager
+(reference models/res16unet.py:237-267).
+
+Architecture (reference forward :196-270):
+  conv0(k=conv1_kernel_size) -> bn -> relu                        @ L0
+  [conv k2 s2 -> bn -> relu -> blocks] x4                         @ L1..L4
+  [convtr k2 s2 -> bn -> relu -> concat(skip) -> blocks] x4       @ L3..L0
+  final: pointwise conv to out_channels (bias=True)
+Returns (logits, last_block_features).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+from flax import linen as nn
+import jax.numpy as jnp
+
+from languagegroundedsemseg_tpu.models.blocks import BLOCKS
+from languagegroundedsemseg_tpu.models.layers import Norm, SparseConv
+from languagegroundedsemseg_tpu.sparse.graph_host import GraphSpec, MapSpec
+from languagegroundedsemseg_tpu.sparse.offsets import ConvKind
+from languagegroundedsemseg_tpu.sparse.types import ConvGraph
+
+NUM_LEVELS = 5  # strides 1, 2, 4, 8, 16
+
+
+def res16unet_graph_spec(conv1_kernel_size: int = 3, d: int = 3) -> GraphSpec:
+    """All kernel maps any Res16UNet variant needs."""
+    maps = {}
+    for l in range(NUM_LEVELS):
+        maps[f"l{l}.k3"] = MapSpec(l, l, ConvKind(kernel_size=3))
+    if conv1_kernel_size != 3:
+        maps[f"l0.k{conv1_kernel_size}"] = MapSpec(0, 0, ConvKind(kernel_size=conv1_kernel_size))
+    for l in range(NUM_LEVELS - 1):
+        maps[f"down{l}"] = MapSpec(l, l + 1, ConvKind(kernel_size=2, stride=2))
+    for l in range(1, NUM_LEVELS):
+        maps[f"up{l}"] = MapSpec(l, l - 1, ConvKind(kernel_size=2, stride=2, transpose=True))
+    return GraphSpec(num_levels=NUM_LEVELS, maps=maps, d=d)
+
+
+class Res16UNetBase(nn.Module):
+    """Configurable Res16UNet. Subclasses pin BLOCK/PLANES/LAYERS like the
+    reference variant zoo (models/res16unet.py:273-355)."""
+
+    BLOCK: str = "basic"
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 256, 256, 256, 256)
+    LAYERS: Tuple[int, ...] = (2, 2, 2, 2, 2, 2, 2, 2)
+    INIT_DIM: int = 32
+
+    out_channels: int = 20
+    conv1_kernel_size: int = 3
+    bn_momentum: float = 0.02
+    norm_type: str = "batch"
+    axis_name: Optional[str] = None
+    max_batch: int = 32
+    dtype: Any = jnp.float32
+    # CLIP-head behavior (reference models/clip_models.py:95-203): when
+    # representation_only is True the final 1x1 classifier is skipped and
+    # block8's last relu is stripped (NoReluBlock) so raw features live in
+    # the CLIP embedding space.
+    strip_final_relu: bool = False
+
+    @classmethod
+    def graph_spec(cls, conv1_kernel_size: int = 3, d: int = 3) -> GraphSpec:
+        return res16unet_graph_spec(conv1_kernel_size, d)
+
+    def _norm(self, name):
+        return Norm(
+            norm_type=self.norm_type,
+            momentum=self.bn_momentum,
+            axis_name=self.axis_name,
+            max_batch=self.max_batch,
+            dtype=self.dtype,
+            name=name,
+        )
+
+    def _blocks(self, n_blocks, planes, lvl, name, final_relu_last=True):
+        block_cls = BLOCKS[self.BLOCK]
+        return [
+            block_cls(
+                planes=planes,
+                lvl=lvl,
+                map_name=f"l{lvl}.k3",
+                norm_type=self.norm_type,
+                bn_momentum=self.bn_momentum,
+                axis_name=self.axis_name,
+                max_batch=self.max_batch,
+                dtype=self.dtype,
+                final_relu=final_relu_last or (i < n_blocks - 1),
+                name=f"{name}_{i}",
+            )
+            for i in range(n_blocks)
+        ]
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,
+        graph: ConvGraph,
+        train: bool = False,
+        representation_only: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        P, L = self.PLANES, self.LAYERS
+        ks0 = self.conv1_kernel_size
+        masks = [graph.levels[l].mask() for l in range(NUM_LEVELS)]
+        bidx = [graph.levels[l].batch_idx for l in range(NUM_LEVELS)]
+
+        def norm_relu(x, lvl, name):
+            x = self._norm(name)(x, bidx[lvl], masks[lvl], train)
+            return nn.relu(x)
+
+        # Stem @ L0
+        out = SparseConv(self.INIT_DIM, f"l0.k{ks0}", dtype=self.dtype, name="conv0p1s1")(feats, graph)
+        out_p1 = norm_relu(out, 0, "bn0")
+
+        # Encoder
+        skips = []
+        out = out_p1
+        for e in range(4):
+            lvl = e + 1
+            out = SparseConv(out.shape[-1], f"down{e}", dtype=self.dtype, name=f"conv{lvl}p{1 << e}s2")(out, graph)
+            out = norm_relu(out, lvl, f"bn{lvl}")
+            for blk in self._blocks(L[e], P[e], lvl, f"block{lvl}"):
+                out = blk(out, graph, train)
+            skips.append(out)
+        # skips: [block1@L1, block2@L2, block3@L3, block4@L4]; block4 output
+        # is `out` itself.
+
+        # Decoder: convtr up, concat skip, blocks.
+        dec_skips = [skips[2], skips[1], skips[0], out_p1]
+        for d in range(4):
+            lvl = 4 - d  # input level of the transpose conv
+            out = SparseConv(P[4 + d], f"up{lvl}", dtype=self.dtype, name=f"convtr{4 + d}p{1 << lvl}s2")(out, graph)
+            out = norm_relu(out, lvl - 1, f"bntr{4 + d}")
+            out = jnp.concatenate([out, dec_skips[d]], axis=-1)
+            last_decoder_stage = d == 3
+            strip = last_decoder_stage and (self.strip_final_relu or representation_only)
+            for blk in self._blocks(L[4 + d], P[4 + d], lvl - 1, f"block{5 + d}", final_relu_last=not strip):
+                out = blk(out, graph, train)
+
+        features = out
+        if representation_only:
+            return features, features
+        logits = SparseConv(self.out_channels, None, use_bias=True, dtype=self.dtype, name="final")(features, graph)
+        return logits, features
+
+
+# ---- Variant zoo (reference models/res16unet.py:273-355) -------------------
+
+class Res16UNet14(Res16UNetBase):
+    LAYERS: Tuple[int, ...] = (1, 1, 1, 1, 1, 1, 1, 1)
+
+
+class Res16UNet18(Res16UNetBase):
+    LAYERS: Tuple[int, ...] = (2, 2, 2, 2, 2, 2, 2, 2)
+
+
+class Res16UNet34(Res16UNetBase):
+    LAYERS: Tuple[int, ...] = (2, 3, 4, 6, 2, 2, 2, 2)
+
+
+class Res16UNet50(Res16UNetBase):
+    BLOCK: str = "bottleneck"
+    LAYERS: Tuple[int, ...] = (2, 3, 4, 6, 2, 2, 2, 2)
+
+
+class Res16UNet101(Res16UNetBase):
+    BLOCK: str = "bottleneck"
+    LAYERS: Tuple[int, ...] = (2, 3, 4, 23, 2, 2, 2, 2)
+
+
+class Res16UNet14A(Res16UNet14):
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 128, 128, 96, 96)
+
+
+class Res16UNet14A2(Res16UNet14A):
+    LAYERS: Tuple[int, ...] = (1, 1, 1, 1, 2, 2, 2, 2)
+
+
+class Res16UNet14B(Res16UNet14):
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 128, 128, 128, 128)
+
+
+class Res16UNet14B2(Res16UNet14B):
+    LAYERS: Tuple[int, ...] = (1, 1, 1, 1, 2, 2, 2, 2)
+
+
+class Res16UNet14B3(Res16UNet14B):
+    LAYERS: Tuple[int, ...] = (2, 2, 2, 2, 1, 1, 1, 1)
+
+
+class Res16UNet14C(Res16UNet14):
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 192, 192, 128, 128)
+
+
+class Res16UNet14D(Res16UNet14):
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 384, 384, 384, 384)
+
+
+class Res16UNet18A(Res16UNet18):
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 128, 128, 96, 96)
+
+
+class Res16UNet18B(Res16UNet18):
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 128, 128, 128, 128)
+
+
+class Res16UNet18D(Res16UNet18):
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 384, 384, 384, 384)
+
+
+class Res16UNet34A(Res16UNet34):
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 256, 128, 64, 64)
+
+
+class Res16UNet34B(Res16UNet34):
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 256, 128, 64, 32)
+
+
+class Res16UNet34C(Res16UNet34):
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 256, 128, 96, 96)
+
+
+class Res16UNet34C200(Res16UNet34):
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 256, 128, 96, 200)
+
+
+class Res16UNet34C100(Res16UNet34):
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 256, 128, 128, 100)

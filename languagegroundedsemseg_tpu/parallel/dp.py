@@ -1,0 +1,73 @@
+"""Data-parallel wrapping of step functions via shard_map.
+
+Each device holds its own fixed-capacity batch shard (feats + labels + its
+own ConvGraph with device-local gather indices); gathers never cross chips.
+Cross-chip traffic is exactly: grad psum, BN statistic psum, metric psum —
+all riding ICI. This replaces the reference's PL DDPPlugin + NCCL stack
+(main.py:192-195, downstream/insseg/lib/distributed.py:225-236).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def stack_batches(batches):
+    """Stack per-device TrainBatch pytrees along a new leading axis."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *batches)
+
+
+def _unstack_shard(tree):
+    """Inside shard_map each device sees leading dim 1 — drop it."""
+    return jax.tree_util.tree_map(lambda x: x[0], tree)
+
+
+def shard_train_step(step_fn: Callable, mesh: Mesh, axis: str = "data") -> Callable:
+    """Wrap step(state, batch, key) for SPMD execution.
+
+    state/key are replicated; batch is sharded on its stacked leading axis.
+    Returns p_step(state, stacked_batch, key) -> (state, metrics), both
+    replicated (the step must psum grads/metrics over ``axis``, which
+    make_train_step does when axis_name is set).
+    """
+
+    def wrapped(state, batch, key):
+        b = _unstack_shard(batch)
+        return step_fn(state, b, key)
+
+    sharded = shard_map(
+        wrapped,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def shard_eval_step(step_fn: Callable, mesh: Mesh, axis: str = "data") -> Callable:
+    """Eval: batch sharded, outputs returned sharded on the leading axis."""
+
+    def wrapped(state, batch):
+        b = _unstack_shard(batch)
+        out = step_fn(state, b)
+        return jax.tree_util.tree_map(lambda x: x[None], out)
+
+    sharded = shard_map(
+        wrapped,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,290 @@
+"""Host-side (numpy) coordinate pyramid + kernel-map builder.
+
+This is the production input-pipeline path: kernel maps depend only on
+coordinates, so they are built on the host (vectorized numpy int64-key
+searchsorted joins; a C++ builder plugs in behind the same API) while the
+TPU runs the previous step. Mirrors what MinkowskiEngine's coordinate
+manager computes on GPU (reference models/modules/common.py:192-203), but
+with static capacities so the device graph never recompiles.
+
+Key packing: (b, x, y, z) -> int64 with 16 bits per field. Coordinates must
+lie in [-2^15, 2^15) and batch index in [0, 2^16) — comfortably above any
+ScanNet scene at 2 cm voxels (~2000 voxels extent, reference
+lib/datasets/scannet.py:442).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from languagegroundedsemseg_tpu.sparse.offsets import ConvKind, region_offsets
+from languagegroundedsemseg_tpu.sparse.types import ConvGraph, KernelMap, SparseLevel
+
+_COORD_OFF = 1 << 15
+_FIELD_BITS = 16
+_FIELD_MASK = (1 << _FIELD_BITS) - 1
+
+
+def pack_keys(coords: np.ndarray) -> np.ndarray:
+    """Pack (N, 4) int (b, x, y, z) rows into unique int64 keys."""
+    c = np.asarray(coords, dtype=np.int64)
+    assert c.ndim == 2 and c.shape[1] == 4, f"expected (N, 4), got {c.shape}"
+    b = c[:, 0]
+    xyz = c[:, 1:] + _COORD_OFF
+    if xyz.size:
+        lo, hi = int(xyz.min()), int(xyz.max())
+        if lo < 0 or hi > _FIELD_MASK:
+            raise ValueError(
+                f"coordinates out of packable range [-32768, 32767]: "
+                f"min={lo - _COORD_OFF}, max={hi - _COORD_OFF}"
+            )
+    return (
+        (b << (3 * _FIELD_BITS))
+        | (xyz[:, 0] << (2 * _FIELD_BITS))
+        | (xyz[:, 1] << _FIELD_BITS)
+        | xyz[:, 2]
+    )
+
+
+def unpack_keys(keys: np.ndarray) -> np.ndarray:
+    k = np.asarray(keys, dtype=np.int64)
+    b = k >> (3 * _FIELD_BITS)
+    x = ((k >> (2 * _FIELD_BITS)) & _FIELD_MASK) - _COORD_OFF
+    y = ((k >> _FIELD_BITS) & _FIELD_MASK) - _COORD_OFF
+    z = (k & _FIELD_MASK) - _COORD_OFF
+    return np.stack([b, x, y, z], axis=1).astype(np.int32)
+
+
+def quantize(
+    coords: np.ndarray,
+    labels: Optional[np.ndarray] = None,
+    ignore_label: int = 255,
+    return_inverse: bool = False,
+):
+    """Deduplicate integer voxel coordinates.
+
+    Equivalent of ME.utils.sparse_quantize as used by the reference voxelizer
+    (lib/voxelizer.py:142): returns indices of one representative point per
+    occupied voxel (first occurrence). If ``labels`` is given, voxels whose
+    points disagree on the label get ``ignore_label`` (the consensus variant
+    used at lib/voxelizer.py:284).
+
+    Accepts (N, 3) single-sample coords (treated as batch 0) or (N, 4)
+    batched coords.
+    """
+    c = np.asarray(coords)
+    if c.shape[1] == 3:
+        c = np.concatenate([np.zeros((c.shape[0], 1), dtype=c.dtype), c], axis=1)
+    keys = pack_keys(c)
+    uniq_keys, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
+
+    out = [first_idx]
+    if labels is not None:
+        lab = np.asarray(labels)
+        # Voxel label consensus: min == max over the group -> agreed.
+        nvox = uniq_keys.shape[0]
+        big = np.iinfo(np.int64).max
+        gmin = np.full(nvox, big, dtype=np.int64)
+        gmax = np.full(nvox, -big, dtype=np.int64)
+        np.minimum.at(gmin, inverse, lab.astype(np.int64))
+        np.maximum.at(gmax, inverse, lab.astype(np.int64))
+        vox_labels = np.where(gmin == gmax, gmin, ignore_label).astype(lab.dtype)
+        out.append(vox_labels)
+    if return_inverse:
+        out.append(inverse)
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+class _Lookup:
+    """Sorted-key exact lookup table: packed int64 key -> row index."""
+
+    __slots__ = ("sorted_keys", "sorted_rows")
+
+    def __init__(self, keys: np.ndarray, rows: Optional[np.ndarray] = None):
+        order = np.argsort(keys, kind="stable")
+        self.sorted_keys = keys[order]
+        self.sorted_rows = order.astype(np.int32) if rows is None else rows[order]
+
+    def query(self, keys: np.ndarray) -> np.ndarray:
+        """Return row index for each key, or -1 if absent."""
+        if self.sorted_keys.size == 0:
+            return np.full(keys.shape, -1, dtype=np.int32)
+        pos = np.searchsorted(self.sorted_keys, keys)
+        pos = np.minimum(pos, self.sorted_keys.size - 1)
+        hit = self.sorted_keys[pos] == keys
+        return np.where(hit, self.sorted_rows[pos], -1).astype(np.int32)
+
+
+@dataclass(frozen=True)
+class MapSpec:
+    """Static description of one kernel map: which levels it connects and
+    the conv geometry that generates it."""
+
+    level_in: int
+    level_out: int
+    kind: ConvKind
+
+
+@dataclass(frozen=True)
+class GraphSpec:
+    """Everything the graph builder needs to know about a model's geometry.
+
+    num_levels: pyramid depth (Res16UNet: 5 — strides 1, 2, 4, 8, 16).
+    maps: name -> MapSpec. Pointwise (k=1) convs need no map.
+    """
+
+    num_levels: int
+    maps: Dict[str, MapSpec] = field(default_factory=dict)
+    d: int = 3
+
+    def union(self, other: "GraphSpec") -> "GraphSpec":
+        maps = dict(self.maps)
+        for k, v in other.maps.items():
+            if k in maps:
+                assert maps[k] == v, f"conflicting MapSpec for {k}"
+            maps[k] = v
+        return GraphSpec(max(self.num_levels, other.num_levels), maps, self.d)
+
+
+def _pad_rows(arr: np.ndarray, capacity: int, fill) -> np.ndarray:
+    n = arr.shape[0]
+    if n >= capacity:
+        return arr[:capacity]
+    pad_shape = (capacity - n,) + arr.shape[1:]
+    return np.concatenate([arr, np.full(pad_shape, fill, dtype=arr.dtype)], axis=0)
+
+
+def default_capacities(n0_capacity: int, num_levels: int, ratios: Sequence[float] = None, multiple: int = 128) -> Tuple[int, ...]:
+    """Per-level capacities derived from the level-0 capacity.
+
+    Defaults are conservative (stride-2 in 3D indoor scenes empirically
+    shrinks voxel counts ~6x; we budget 2x) so overflow truncation —
+    the analog of the reference's ``limit_numpoints`` drop policy
+    (lib/transforms.py:405-411) — is vanishingly rare.
+    """
+    if ratios is None:
+        ratios = [1.0 / (2 ** l) for l in range(num_levels)]
+    caps = []
+    for l in range(num_levels):
+        c = int(np.ceil(n0_capacity * ratios[l]))
+        c = max(multiple, ((c + multiple - 1) // multiple) * multiple)
+        caps.append(c)
+    return tuple(caps)
+
+
+def build_pyramid(
+    coords0: np.ndarray, num_levels: int
+) -> Tuple[list, list]:
+    """Coordinate pyramid: level l coords are the unique values of
+    ``floor(level_{l-1} / (2 * stride)) * (2 * stride)`` — ME's stride map
+    semantics for the kernel-size-2/stride-2 downsample convs of Res16UNet.
+
+    Returns (list of (N_l, 4) coords arrays, list of packed-key arrays).
+    Level order within each level is first-occurrence order of the sorted
+    parent keys (deterministic).
+    """
+    coords0 = np.asarray(coords0, dtype=np.int32)
+    levels = [coords0]
+    keys = [pack_keys(coords0)]
+    cur = coords0
+    for l in range(1, num_levels):
+        s = 1 << l  # stride of the new level
+        down = cur.copy()
+        down[:, 1:] = np.floor_divide(down[:, 1:], s) * s
+        k = pack_keys(down)
+        uk, first = np.unique(k, return_index=True)
+        nxt = down[np.sort(first)]  # keep deterministic first-occurrence order
+        levels.append(nxt)
+        keys.append(pack_keys(nxt))
+        cur = nxt
+    return levels, keys
+
+
+def _kernel_map(
+    out_coords: np.ndarray,
+    in_lookup: _Lookup,
+    kind: ConvKind,
+    stride_in: int,
+    stride_out: int,
+    out_capacity: int,
+    d: int,
+) -> np.ndarray:
+    """Build (K, out_capacity) gather-index table (int32, -1 = missing)."""
+    if kind.transpose:
+        # Upsampling: out row f pulls from coarse voxel at f - o_k, where the
+        # offsets are in units of the *output* (finer) tensor stride — the
+        # transpose of the matching strided conv's kernel map.
+        offs = region_offsets(kind.region, kind.kernel_size, kind.dilation, stride_out, d)
+        offs = -offs
+    else:
+        # Normal conv: out row c pulls from in voxel at c + o_k, offsets in
+        # units of the *input* tensor stride.
+        offs = region_offsets(kind.region, kind.kernel_size, kind.dilation, stride_in, d)
+
+    k = offs.shape[0]
+    n_out = out_coords.shape[0]
+    idx = np.full((k, out_capacity), -1, dtype=np.int32)
+    if n_out == 0:
+        return idx
+    # Vectorized join: (K * N_out) queries against the input level's table.
+    targets = out_coords[None, :, 1:].astype(np.int64) + offs[:, None, :].astype(np.int64)
+    b = np.broadcast_to(out_coords[None, :, :1].astype(np.int64), (k, n_out, 1))
+    q = np.concatenate([b, targets], axis=2).reshape(-1, 1 + d)
+    idx[:, :n_out] = in_lookup.query(pack_keys(q)).reshape(k, n_out)
+    return idx
+
+
+def build_graph(
+    coords0: np.ndarray,
+    spec: GraphSpec,
+    capacities: Sequence[int],
+    as_numpy: bool = False,
+) -> ConvGraph:
+    """Build the full ConvGraph for one batch.
+
+    coords0: (N, 4) int32 batched, already-quantized stride-1 coordinates.
+    capacities: per-level static capacities (len == spec.num_levels).
+        Overflowing levels are truncated (drop-overflow policy).
+    as_numpy: keep numpy arrays (for tests / host pipelines); otherwise the
+        pytree leaves are numpy anyway and become device arrays on first use.
+    """
+    assert len(capacities) == spec.num_levels
+    coords_levels, keys_levels = build_pyramid(coords0, spec.num_levels)
+
+    # Truncate overflow and build lookups over the *kept* rows only.
+    nums, lookups, kept_coords = [], [], []
+    for l in range(spec.num_levels):
+        cap = capacities[l]
+        c = coords_levels[l]
+        n = min(c.shape[0], cap)
+        c = c[:n]
+        nums.append(n)
+        kept_coords.append(c)
+        lookups.append(_Lookup(keys_levels[l][:n]))
+
+    levels = tuple(
+        SparseLevel(
+            coords=_pad_rows(kept_coords[l], capacities[l], 0),
+            num=np.int32(nums[l]),
+            stride=1 << l,
+        )
+        for l in range(spec.num_levels)
+    )
+
+    maps = {}
+    for name, ms in spec.maps.items():
+        idx = _kernel_map(
+            out_coords=kept_coords[ms.level_out],
+            in_lookup=lookups[ms.level_in],
+            kind=ms.kind,
+            stride_in=1 << ms.level_in,
+            stride_out=1 << ms.level_out,
+            out_capacity=capacities[ms.level_out],
+            d=spec.d,
+        )
+        maps[name] = KernelMap(idx=idx)
+
+    return ConvGraph(levels=levels, maps=maps)

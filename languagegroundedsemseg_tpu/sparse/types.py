@@ -1,0 +1,102 @@
+"""Pytree containers for fixed-capacity sparse voxel grids.
+
+Design: every array has a *static* capacity (padded); a scalar ``num`` tracks
+the valid prefix. Kernel maps are padded int32 gather-index tables with -1 for
+missing neighbors. This replaces MinkowskiEngine's dynamic SparseTensor /
+kernel-map machinery (reference lib/train_test/pl_BaselineTrainer.py:300,
+models/modules/common.py:192) with shapes XLA can compile once per bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class SparseLevel:
+    """One stride level of the coordinate pyramid.
+
+    coords: (capacity, 1 + d) int32 — (batch_idx, x, y, z[, t]); rows past
+        ``num`` are padding (contents arbitrary, never referenced by maps).
+    num: () int32 — number of valid rows.
+    stride: static int — tensor stride (1, 2, 4, ... in voxel units).
+    """
+
+    coords: jnp.ndarray
+    num: jnp.ndarray
+    stride: int = struct.field(pytree_node=False)
+
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[0]
+
+    def mask(self, dtype=jnp.float32) -> jnp.ndarray:
+        """(capacity,) validity mask: 1 for valid rows, 0 for padding."""
+        return (jnp.arange(self.capacity) < self.num).astype(dtype)
+
+    def bool_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.capacity) < self.num
+
+    @property
+    def batch_idx(self) -> jnp.ndarray:
+        return self.coords[:, 0]
+
+
+@struct.dataclass
+class KernelMap:
+    """Padded neighbor-index table for one sparse conv geometry.
+
+    idx: (K, out_capacity) int32 — for output row i and kernel slot k,
+        ``idx[k, i]`` is the row in the *input* level's feature array that
+        this slot gathers from, or -1 if the neighbor voxel doesn't exist
+        (or the output row is padding).
+    """
+
+    idx: jnp.ndarray
+
+    @property
+    def num_offsets(self) -> int:
+        return self.idx.shape[0]
+
+    @property
+    def out_capacity(self) -> int:
+        return self.idx.shape[1]
+
+
+@struct.dataclass
+class ConvGraph:
+    """The full coordinate pyramid + all kernel maps a model needs.
+
+    Built once per batch by the graph builder (host or device); reused by
+    every conv in the forward/backward pass. Keys of ``maps`` are the map
+    names declared in the model's GraphSpec (e.g. "l2.k3", "down1", "up3").
+    """
+
+    levels: Tuple[SparseLevel, ...]
+    maps: Mapping[str, KernelMap]
+
+    def level(self, i: int) -> SparseLevel:
+        return self.levels[i]
+
+    def map(self, name: str) -> KernelMap:
+        return self.maps[name]
+
+
+def level_capacities(graph: ConvGraph) -> Tuple[int, ...]:
+    return tuple(l.capacity for l in graph.levels)
+
+
+def graph_stats(graph: ConvGraph) -> dict[str, Any]:
+    """Host-side debug summary (triggers device sync; do not call in jit)."""
+    out = {}
+    for i, lvl in enumerate(graph.levels):
+        out[f"level{i}"] = dict(
+            stride=lvl.stride, capacity=lvl.capacity, num=int(lvl.num)
+        )
+    for name, m in graph.maps.items():
+        fill = float((m.idx >= 0).mean())
+        out[f"map:{name}"] = dict(K=m.num_offsets, out_cap=m.out_capacity, fill=fill)
+    return out

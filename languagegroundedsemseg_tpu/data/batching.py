@@ -80,6 +80,13 @@ class BatchBuilder:
             uniq = np.sort(uniq)
             coords, feats, labels = coords[uniq], feats[uniq], labels[uniq]
 
+        # Sort rows by packed coordinate key: grouped (z-run fused) kernel
+        # maps rely on z-neighbors being adjacent rows.
+        from languagegroundedsemseg_tpu.sparse.graph_host import pack_keys
+
+        order = np.argsort(pack_keys(coords), kind="stable")
+        coords, feats, labels = coords[order], feats[order], labels[order]
+
         cap0 = self.fixed_capacity or bucket_capacity(len(coords), self.buckets)
         if len(coords) > cap0:
             coords, feats, labels = coords[:cap0], feats[:cap0], labels[:cap0]

@@ -16,7 +16,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from languagegroundedsemseg_tpu.ops.spconv import pointwise_conv, sparse_conv
+from languagegroundedsemseg_tpu.ops.spconv import (
+    pointwise_conv,
+    sparse_conv,
+    sparse_conv_grouped,
+    sparse_conv_parent,
+)
+from languagegroundedsemseg_tpu.sparse.types import GroupedKernelMap, ParentMap
 from languagegroundedsemseg_tpu.ops.segment import batch_broadcast, batch_mean
 from languagegroundedsemseg_tpu.sparse.types import ConvGraph
 
@@ -57,10 +63,15 @@ class SparseConv(nn.Module):
         k = idx.shape[0]
         w = self.param("kernel", _conv_kernel_init, (k, c_in, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
-        return sparse_conv(
-            x.astype(self.dtype), w.astype(self.dtype), idx,
-            None if b is None else b.astype(self.dtype),
-        )
+        xd = x.astype(self.dtype)
+        wd = w.astype(self.dtype)
+        bd = None if b is None else b.astype(self.dtype)
+        gm = graph.gmaps.get(self.map_name) if graph.gmaps else None
+        if isinstance(gm, ParentMap):
+            return sparse_conv_parent(xd, wd, gm, bd)
+        if isinstance(gm, GroupedKernelMap):
+            return sparse_conv_grouped(xd, wd, gm, bd)
+        return sparse_conv(xd, wd, idx, bd, center_slot=graph.maps[self.map_name].center_slot)
 
 
 class SparseBatchNorm(nn.Module):

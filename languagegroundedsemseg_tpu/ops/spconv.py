@@ -30,14 +30,32 @@ def _gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((idx >= 0)[:, None], g, jnp.zeros((), dtype=x.dtype))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=())
-def _conv_core(x: jnp.ndarray, w: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    return _conv_fwd_impl(x, w, idx)
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv_core(x: jnp.ndarray, w: jnp.ndarray, idx: jnp.ndarray, center: int) -> jnp.ndarray:
+    return _conv_fwd_impl(x, w, idx, center)
 
 
-def _conv_fwd_impl(x, w, idx):
+def _split_center(w, idx, center):
+    """Static split: (center weight or None, rest weights, rest idx)."""
+    if center < 0:
+        return None, w, idx
+    wc = w[center]
+    w_rest = jnp.concatenate([w[:center], w[center + 1 :]], axis=0)
+    idx_rest = jnp.concatenate([idx[:center], idx[center + 1 :]], axis=0)
+    return wc, w_rest, idx_rest
+
+
+def _conv_fwd_impl(x, w, idx, center):
     n_out = idx.shape[1]
     c_out = w.shape[2]
+    wc, w_rest, idx_rest = _split_center(w, idx, center)
+
+    if wc is not None:
+        # Center slot of a stride-1 kernel maps each row to itself: a plain
+        # matmul, no gather. (Padding rows carry x's padding — zeros.)
+        acc0 = jnp.dot(x, wc, preferred_element_type=jnp.float32)
+    else:
+        acc0 = jnp.zeros((n_out, c_out), dtype=jnp.float32)
 
     def step(acc, kw):
         wk, ik = kw
@@ -45,19 +63,26 @@ def _conv_fwd_impl(x, w, idx):
         acc = acc + jnp.dot(g, wk, preferred_element_type=jnp.float32)
         return acc, None
 
-    acc0 = jnp.zeros((n_out, c_out), dtype=jnp.float32)
-    acc, _ = lax.scan(step, acc0, (w, idx))
+    acc, _ = lax.scan(step, acc0, (w_rest, idx_rest))
     return acc.astype(x.dtype)
 
 
-def _conv_fwd(x, w, idx):
-    return _conv_fwd_impl(x, w, idx), (x, w, idx)
+def _conv_fwd(x, w, idx, center):
+    return _conv_fwd_impl(x, w, idx, center), (x, w, idx)
 
 
-def _conv_bwd(res, g_out):
+def _conv_bwd(center, res, g_out):
     x, w, idx = res
     n_in = x.shape[0]
     g32 = g_out.astype(jnp.float32)
+    wc, w_rest, idx_rest = _split_center(w, idx, center)
+
+    if wc is not None:
+        dx0 = jnp.dot(g32, wc.astype(jnp.float32).T, preferred_element_type=jnp.float32)
+        dwc = jnp.dot(x.astype(jnp.float32).T, g32, preferred_element_type=jnp.float32)
+    else:
+        dx0 = jnp.zeros((n_in, x.shape[1]), dtype=jnp.float32)
+        dwc = None
 
     def step(dx, kw):
         wk, ik = kw
@@ -70,8 +95,13 @@ def _conv_bwd(res, g_out):
         dwk = jnp.dot(gx.T, g32, preferred_element_type=jnp.float32)
         return dx, dwk
 
-    dx0 = jnp.zeros((n_in, x.shape[1]), dtype=jnp.float32)
-    dx, dw = lax.scan(step, dx0, (w, idx))
+    dx, dw_rest = lax.scan(step, dx0, (w_rest, idx_rest))
+    if wc is not None:
+        dw = jnp.concatenate(
+            [dw_rest[:center], dwc[None], dw_rest[center:]], axis=0
+        )
+    else:
+        dw = dw_rest
     return dx.astype(x.dtype), dw.astype(w.dtype), None
 
 
@@ -83,6 +113,7 @@ def sparse_conv(
     w: jnp.ndarray,
     idx: jnp.ndarray,
     bias: jnp.ndarray | None = None,
+    center_slot: int = -1,
 ) -> jnp.ndarray:
     """Apply a sparse convolution.
 
@@ -91,13 +122,158 @@ def sparse_conv(
     w: (K, Cin, Cout) kernel weights, slot order = the kernel map's offset
        order.
     idx: (K, cap_out) int32 kernel map (-1 = missing neighbor).
-    Returns (cap_out, Cout); padding output rows (all slots -1) are exactly 0
-    before bias.
+    center_slot: static slot index whose map is the identity (skips that
+       gather); -1 if none.
+    Returns (cap_out, Cout).
     """
     assert w.ndim == 3 and idx.ndim == 2 and w.shape[0] == idx.shape[0], (
         f"w {w.shape} vs idx {idx.shape}"
     )
-    out = _conv_core(x, w, idx)
+    out = _conv_core(x, w, idx, center_slot)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+# ---- Z-run fused (grouped) sparse conv ------------------------------------
+#
+# Offsets grouped by (dx, dy) column: the <=3 z-neighbors of an output voxel
+# occupy contiguous sorted rows of the input level, so one wide gather from
+# x3 = [roll(x,1) | x | roll(x,-1)] serves a whole column, and the stride-1
+# center column needs no gather at all. 27 row-gathers -> 8 wide gathers.
+# Backward scatters are fused the same way (one 3C-wide scatter per column).
+
+
+def _make_x3(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate(
+        [jnp.roll(x, 1, axis=0), x, jnp.roll(x, -1, axis=0)], axis=1
+    )
+
+
+def _pick(g3: jnp.ndarray, sel: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Select the sel-th C-wide column block of g3 per row (3 = zeros)."""
+    z = jnp.zeros((), g3.dtype)
+    return jnp.where(
+        (sel == 0)[:, None],
+        g3[:, :c],
+        jnp.where(
+            (sel == 1)[:, None],
+            g3[:, c : 2 * c],
+            jnp.where((sel == 2)[:, None], g3[:, 2 * c :], z),
+        ),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _grouped_core(x, w, base, sel, slots, identity):
+    return _grouped_fwd_impl(x, w, base, sel, slots, identity)
+
+
+def _grouped_fwd_impl(x, w, base, sel, slots, identity):
+    c = x.shape[1]
+    n_out = base.shape[1]
+    x3 = _make_x3(x)
+    acc = jnp.zeros((n_out, w.shape[2]), jnp.float32)
+    for gi, ks in enumerate(slots):
+        g3 = x3 if identity[gi] else jnp.take(x3, base[gi], axis=0)
+        for j, k in enumerate(ks):
+            p = _pick(g3, sel[gi, j], c)
+            acc = acc + jnp.dot(p, w[k], preferred_element_type=jnp.float32)
+    return acc.astype(x.dtype)
+
+
+def _grouped_fwd(x, w, base, sel, slots, identity):
+    return _grouped_fwd_impl(x, w, base, sel, slots, identity), (x, w, base, sel)
+
+
+def _grouped_bwd(slots, identity, res, g_out):
+    x, w, base, sel = res
+    c = x.shape[1]
+    n_in = x.shape[0]
+    g32 = g_out.astype(jnp.float32)
+    x3 = _make_x3(x)
+    dx3 = jnp.zeros((n_in, 3 * c), jnp.float32)
+    dws = [jnp.zeros(w.shape[1:], jnp.float32) for _ in range(w.shape[0])]
+    for gi, ks in enumerate(slots):
+        ident = identity[gi]
+        g3 = x3 if ident else jnp.take(x3, base[gi], axis=0)
+        z3_parts = [jnp.zeros((base.shape[1], c), jnp.float32) for _ in range(3)]
+        for j, k in enumerate(ks):
+            s = sel[gi, j]
+            p = _pick(g3, s, c).astype(jnp.float32)
+            dws[k] = dws[k] + jnp.dot(p.T, g32, preferred_element_type=jnp.float32)
+            contrib = jnp.dot(g32, w[k].astype(jnp.float32).T, preferred_element_type=jnp.float32)
+            for si in range(3):
+                z3_parts[si] = z3_parts[si] + jnp.where((s == si)[:, None], contrib, 0.0)
+        z3 = jnp.concatenate(z3_parts, axis=1)
+        if ident:
+            dx3 = dx3 + z3
+        else:
+            dx3 = dx3.at[base[gi]].add(z3, mode="drop")
+    dx = (
+        jnp.roll(dx3[:, :c], -1, axis=0)
+        + dx3[:, c : 2 * c]
+        + jnp.roll(dx3[:, 2 * c :], 1, axis=0)
+    )
+    return dx.astype(x.dtype), jnp.stack(dws).astype(w.dtype), None, None
+
+
+_grouped_core.defvjp(_grouped_fwd, _grouped_bwd)
+
+
+def sparse_conv_grouped(x, w, gmap, bias=None):
+    """Apply a sparse conv through a GroupedKernelMap (see sparse/types.py)."""
+    out = _grouped_core(x, w, gmap.base, gmap.sel, gmap.slots, gmap.identity)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+# ---- Parent-map conv (k2s2 transpose: one contributor per output row) ------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _parent_core(x, w, parent, kslot):
+    return _parent_fwd_impl(x, w, parent, kslot)
+
+
+def _parent_fwd_impl(x, w, parent, kslot):
+    g = jnp.take(x, parent, axis=0)  # (n_out, cin)
+    acc = jnp.zeros((parent.shape[0], w.shape[2]), jnp.float32)
+    for k in range(w.shape[0]):
+        gk = jnp.where((kslot == k)[:, None], g, jnp.zeros((), g.dtype))
+        acc = acc + jnp.dot(gk, w[k], preferred_element_type=jnp.float32)
+    return acc.astype(x.dtype)
+
+
+def _parent_fwd(x, w, parent, kslot):
+    return _parent_fwd_impl(x, w, parent, kslot), (x, w, parent, kslot)
+
+
+def _parent_bwd(res, g_out):
+    x, w, parent, kslot = res
+    n_in = x.shape[0]
+    k_num = w.shape[0]
+    g32 = g_out.astype(jnp.float32)
+    g = jnp.take(x, parent, axis=0).astype(jnp.float32)
+    dg = jnp.zeros((parent.shape[0], x.shape[1]), jnp.float32)
+    dws = []
+    for k in range(k_num):
+        mask = (kslot == k)[:, None]
+        dg = dg + jnp.where(mask, jnp.dot(g32, w[k].astype(jnp.float32).T, preferred_element_type=jnp.float32), 0.0)
+        dws.append(jnp.dot(jnp.where(mask, g, 0.0).T, g32, preferred_element_type=jnp.float32))
+    scatter_to = jnp.where(kslot < k_num, parent, n_in)
+    dx = jnp.zeros((n_in, x.shape[1]), jnp.float32).at[scatter_to].add(dg, mode="drop")
+    return dx.astype(x.dtype), jnp.stack(dws).astype(w.dtype), None, None
+
+
+_parent_core.defvjp(_parent_fwd, _parent_bwd)
+
+
+def sparse_conv_parent(x, w, pmap, bias=None):
+    """Apply a transpose conv through a ParentMap (one parent per out row)."""
+    assert pmap.num_slots == w.shape[0]
+    out = _parent_core(x, w, pmap.parent, pmap.kslot)
     if bias is not None:
         out = out + bias
     return out

@@ -21,7 +21,13 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 
 from languagegroundedsemseg_tpu.sparse.offsets import ConvKind, region_offsets
-from languagegroundedsemseg_tpu.sparse.types import ConvGraph, KernelMap, SparseLevel
+from languagegroundedsemseg_tpu.sparse.types import (
+    ConvGraph,
+    GroupedKernelMap,
+    KernelMap,
+    ParentMap,
+    SparseLevel,
+)
 
 _COORD_OFF = 1 << 15
 _FIELD_BITS = 16
@@ -194,11 +200,11 @@ def build_pyramid(
         s = 1 << l  # stride of the new level
         down = cur.copy()
         down[:, 1:] = np.floor_divide(down[:, 1:], s) * s
-        k = pack_keys(down)
-        uk, first = np.unique(k, return_index=True)
-        nxt = down[np.sort(first)]  # keep deterministic first-occurrence order
+        uk = np.unique(pack_keys(down))  # sorted-key order: required for the
+        # z-run contiguity that grouped kernel maps exploit
+        nxt = unpack_keys(uk)
         levels.append(nxt)
-        keys.append(pack_keys(nxt))
+        keys.append(uk)
         cur = nxt
     return levels, keys
 
@@ -237,11 +243,97 @@ def _kernel_map(
     return idx
 
 
+def _group_offset_runs(offs: np.ndarray, z_step: int):
+    """Group kernel offsets by their non-z prefix; split each column into
+    maximal runs of consecutive z-offsets (step == the input level's tensor
+    stride, which is the condition for the neighbors to occupy contiguous
+    sorted rows), then chunk runs to length <= 3 (the x3 window width).
+
+    Returns a list of slot-index lists in ascending-dz order.
+    """
+    cols: dict = {}
+    for k, o in enumerate(offs):
+        cols.setdefault(tuple(int(v) for v in o[:-1]), []).append((int(o[-1]), k))
+    groups = []
+    for prefix in sorted(cols):
+        entries = sorted(cols[prefix])
+        runs, run = [], [entries[0]]
+        for dz, k in entries[1:]:
+            if dz == run[-1][0] + z_step:
+                run.append((dz, k))
+            else:
+                runs.append(run)
+                run = [(dz, k)]
+        runs.append(run)
+        for r in runs:
+            for i in range(0, len(r), 3):
+                groups.append([k for _, k in r[i : i + 3]])
+    return groups
+
+
+def _try_grouped_map(
+    idx: np.ndarray, offs: np.ndarray, z_step: int, identity_ok: bool
+) -> Optional[GroupedKernelMap]:
+    """Fuse a flat (K, cap) map into a GroupedKernelMap, or None if the
+    contiguity invariant doesn't hold (defensive fallback)."""
+    groups = _group_offset_runs(offs, z_step)
+    if all(len(g) == 1 for g in groups):
+        return None  # nothing fused — flat map is as good
+    g_count, s_max = len(groups), max(len(g) for g in groups)
+    n = idx.shape[1]
+    base = np.zeros((g_count, n), np.int32)
+    sel = np.full((g_count, s_max, n), 3, np.int32)
+    identity, slots = [], []
+    arange = np.arange(n, dtype=np.int64)
+    for gi, ks in enumerate(groups):
+        sub = idx[ks].astype(np.int64)  # (m, n)
+        valid = sub >= 0
+        m = len(ks)
+        prio = [m // 2] + [j for j in range(m) if j != m // 2] if m == 3 else list(range(m))
+        b = np.full(n, -1, np.int64)
+        for a in reversed(prio):
+            b = np.where(valid[a], sub[a], b)
+        has = b >= 0
+        bb = np.where(has, b, 0)
+        s = np.where(valid, sub - bb[None, :] + 1, 3)
+        if valid.any():
+            sv = s[valid]
+            if sv.min() < 0 or sv.max() > 2:
+                return None
+        base[gi] = bb.astype(np.int32)
+        sel[gi, :m] = s.astype(np.int32)
+        ident = (
+            identity_ok
+            and bool((offs[ks][:, :-1] == 0).all())
+            and bool(np.array_equal(bb[has], arange[has]))
+        )
+        identity.append(ident)
+        slots.append(tuple(int(k) for k in ks))
+    return GroupedKernelMap(
+        base=base, sel=sel, slots=tuple(slots), identity=tuple(identity)
+    )
+
+
+def _try_parent_map(idx: np.ndarray) -> Optional[ParentMap]:
+    """Fuse a map where every output row has <= 1 contributor (k2s2
+    transpose convs: one coarse parent per fine voxel)."""
+    k = idx.shape[0]
+    valid = idx >= 0
+    if valid.sum(axis=0).max(initial=0) > 1:
+        return None
+    kslot = np.where(valid.any(axis=0), valid.argmax(axis=0), k).astype(np.int32)
+    parent = np.take_along_axis(idx, np.minimum(kslot, k - 1)[None, :], axis=0)[0]
+    parent = np.maximum(parent, 0).astype(np.int32)
+    return ParentMap(parent=parent, kslot=kslot, num_slots=k)
+
+
 def build_graph(
     coords0: np.ndarray,
     spec: GraphSpec,
     capacities: Sequence[int],
     as_numpy: bool = False,
+    fuse: bool = True,
+    fuse_grouped: bool = False,
 ) -> ConvGraph:
     """Build the full ConvGraph for one batch.
 
@@ -274,17 +366,57 @@ def build_graph(
         for l in range(spec.num_levels)
     )
 
-    maps = {}
+    maps, gmaps = {}, {}
     for name, ms in spec.maps.items():
+        stride_in = 1 << ms.level_in
+        stride_out = 1 << ms.level_out
         idx = _kernel_map(
             out_coords=kept_coords[ms.level_out],
             in_lookup=lookups[ms.level_in],
             kind=ms.kind,
-            stride_in=1 << ms.level_in,
-            stride_out=1 << ms.level_out,
+            stride_in=stride_in,
+            stride_out=stride_out,
             out_capacity=capacities[ms.level_out],
             d=spec.d,
         )
-        maps[name] = KernelMap(idx=idx)
+        # Center-slot fast path: stride-1 odd kernels map the center offset to
+        # the identity — the conv op turns that slot into a gather-free matmul.
+        center = -1
+        if (
+            not ms.kind.transpose
+            and ms.kind.stride == 1
+            and ms.level_in == ms.level_out
+            and ms.kind.kernel_size % 2 == 1
+            and ms.kind.kernel_size > 1
+        ):
+            offs0 = region_offsets(
+                ms.kind.region, ms.kind.kernel_size, ms.kind.dilation, stride_in, spec.d
+            )
+            zero_rows = np.flatnonzero((offs0 == 0).all(axis=1))
+            if zero_rows.size == 1:
+                center = int(zero_rows[0])
+        maps[name] = KernelMap(idx=idx, center_slot=center)
 
-    return ConvGraph(levels=levels, maps=maps)
+        if fuse and ms.kind.kernel_size > 1:
+            if ms.kind.transpose:
+                pm = _try_parent_map(idx)
+                if pm is not None:
+                    gmaps[name] = pm
+                    continue
+            if not fuse_grouped:
+                continue
+            if ms.kind.transpose:
+                offs = -region_offsets(
+                    ms.kind.region, ms.kind.kernel_size, ms.kind.dilation, stride_out, spec.d
+                )
+            else:
+                offs = region_offsets(
+                    ms.kind.region, ms.kind.kernel_size, ms.kind.dilation, stride_in, spec.d
+                )
+            gm = _try_grouped_map(
+                idx, offs, z_step=stride_in, identity_ok=ms.level_in == ms.level_out
+            )
+            if gm is not None:
+                gmaps[name] = gm
+
+    return ConvGraph(levels=levels, maps=maps, gmaps=gmaps)

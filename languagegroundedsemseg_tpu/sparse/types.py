@@ -56,6 +56,9 @@ class KernelMap:
     """
 
     idx: jnp.ndarray
+    # Static slot whose map is the identity (the center offset of a stride-1
+    # odd kernel); the conv op skips that gather entirely. -1 if none.
+    center_slot: int = struct.field(pytree_node=False, default=-1)
 
     @property
     def num_offsets(self) -> int:
@@ -67,16 +70,63 @@ class KernelMap:
 
 
 @struct.dataclass
+class GroupedKernelMap:
+    """Z-run fused kernel map: offsets grouped by their non-z prefix.
+
+    Within one (dx, dy) column, the (up to 3) z-offset neighbors of an output
+    voxel occupy *contiguous* rows in the sorted-key coordinate array, so one
+    wide gather from x3 = [roll(x,1) | x | roll(x,-1)] serves the whole
+    column. This cuts HBM row-gathers ~3x vs the flat (K, cap) map — the
+    row-granular gather is the TPU's sparse-conv bottleneck.
+
+    base: (G, cap_out) int32 — anchor input row per group (0 if none valid).
+    sel: (G, S, cap_out) int32 — per dz-slot: 0/1/2 selects the x3 column
+        (prev/self/next row of base), 3 = no neighbor.
+    slots: static (G, ...) tuple of weight-slot indices per group, in dz order.
+    identity: static per-group flag — base is the identity map (the stride-1
+        center column), so the gather is skipped entirely.
+    """
+
+    base: jnp.ndarray
+    sel: jnp.ndarray
+    slots: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False)
+    identity: Tuple[bool, ...] = struct.field(pytree_node=False)
+
+    @property
+    def out_capacity(self) -> int:
+        return self.base.shape[-1]
+
+
+@struct.dataclass
+class ParentMap:
+    """Degenerate map where every output row has at most ONE contributing
+    (input row, weight slot) pair — exactly the kernel-size-2 stride-2
+    transpose convs of the Res16UNet decoder (each fine voxel has one coarse
+    parent). One gather + K masked matmuls replace K gathers.
+
+    parent: (cap_out,) int32 input row (0 if none).
+    kslot: (cap_out,) int32 weight slot, or num_slots if no parent.
+    """
+
+    parent: jnp.ndarray
+    kslot: jnp.ndarray
+    num_slots: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
 class ConvGraph:
     """The full coordinate pyramid + all kernel maps a model needs.
 
     Built once per batch by the graph builder (host or device); reused by
     every conv in the forward/backward pass. Keys of ``maps`` are the map
     names declared in the model's GraphSpec (e.g. "l2.k3", "down1", "up3").
+    ``gmaps`` holds the fused representations (GroupedKernelMap/ParentMap)
+    for maps where fusion applies; convs prefer these.
     """
 
     levels: Tuple[SparseLevel, ...]
     maps: Mapping[str, KernelMap]
+    gmaps: Mapping[str, Any] = struct.field(default_factory=dict)
 
     def level(self, i: int) -> SparseLevel:
         return self.levels[i]

@@ -1,0 +1,149 @@
+"""Grouped (z-run fused) and parent-map convs match the flat-map op exactly,
+for both values and gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from languagegroundedsemseg_tpu.ops.spconv import (
+    sparse_conv,
+    sparse_conv_grouped,
+    sparse_conv_parent,
+)
+from languagegroundedsemseg_tpu.sparse import GraphSpec, MapSpec, build_graph
+from languagegroundedsemseg_tpu.sparse.graph_host import default_capacities, pack_keys
+from languagegroundedsemseg_tpu.sparse.offsets import ConvKind
+from languagegroundedsemseg_tpu.sparse.types import GroupedKernelMap, ParentMap
+from oracles import make_cloud
+
+
+def _sorted_cloud(seed, n=350):
+    rng = np.random.default_rng(seed)
+    coords = make_cloud(rng, n=n)
+    coords = coords[np.argsort(pack_keys(coords), kind="stable")]
+    return rng, coords
+
+
+def _graph(coords):
+    spec = GraphSpec(
+        num_levels=2,
+        maps={
+            "k3": MapSpec(0, 0, ConvKind(3)),
+            "down0": MapSpec(0, 1, ConvKind(2, stride=2)),
+            "up1": MapSpec(1, 0, ConvKind(2, stride=2, transpose=True)),
+        },
+    )
+    return build_graph(coords, spec, default_capacities(512, 2, ratios=[1, 1]), fuse_grouped=True)
+
+
+def test_fused_maps_are_built_for_sorted_input():
+    _, coords = _sorted_cloud(0)
+    g = _graph(coords)
+    assert isinstance(g.gmaps.get("k3"), GroupedKernelMap)
+    assert isinstance(g.gmaps.get("down0"), GroupedKernelMap)
+    assert isinstance(g.gmaps.get("up1"), ParentMap)
+    gm = g.gmaps["k3"]
+    # 9 columns for k3, center column is the identity group
+    assert len(gm.slots) == 9
+    assert sum(gm.identity) == 1
+    assert sorted(k for ks in gm.slots for k in ks) == list(range(27))
+
+
+def test_unsorted_input_falls_back_gracefully():
+    rng = np.random.default_rng(1)
+    coords = make_cloud(rng, n=350)  # shuffled
+    g = _graph(coords)
+    # level-0 maps can't fuse on unsorted rows; flat map still present
+    assert "k3" in g.maps
+    if "k3" in g.gmaps:
+        # if it fused anyway, results must still match the flat map (checked
+        # by construction invariants) — but normally it should fall back
+        pass
+
+
+def test_grouped_conv_matches_flat():
+    rng, coords = _sorted_cloud(2)
+    g = _graph(coords)
+    cin, cout = 7, 5
+    cap = g.levels[0].capacity
+    x = jnp.asarray(rng.normal(size=(cap, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
+    n0 = int(g.levels[0].num)
+    flat = sparse_conv(x, w, g.maps["k3"].idx)
+    fused = sparse_conv_grouped(x, w, g.gmaps["k3"])
+    np.testing.assert_allclose(np.asarray(fused)[:n0], np.asarray(flat)[:n0], rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_down_conv_matches_flat():
+    rng, coords = _sorted_cloud(3)
+    g = _graph(coords)
+    cin, cout = 6, 4
+    x = jnp.asarray(rng.normal(size=(g.levels[0].capacity, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32))
+    flat = sparse_conv(x, w, g.maps["down0"].idx)
+    fused = sparse_conv_grouped(x, w, g.gmaps["down0"])
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(flat), rtol=1e-4, atol=1e-4)
+
+
+def test_parent_conv_matches_flat():
+    rng, coords = _sorted_cloud(4)
+    g = _graph(coords)
+    cin, cout = 6, 4
+    x = jnp.asarray(rng.normal(size=(g.levels[1].capacity, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32))
+    flat = sparse_conv(x, w, g.maps["up1"].idx)
+    fused = sparse_conv_parent(x, w, g.gmaps["up1"])
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(flat), rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_grads_match_flat():
+    rng, coords = _sorted_cloud(5, n=200)
+    g = _graph(coords)
+    cin, cout = 5, 6
+    cap = g.levels[0].capacity
+    x = jnp.asarray(rng.normal(size=(cap, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
+    ct_np = rng.normal(size=(cap, cout)).astype(np.float32)
+    ct_np[int(g.levels[0].num):] = 0.0  # padding cotangents are 0 in training
+    ct = jnp.asarray(ct_np)
+
+    gx1, gw1 = jax.grad(lambda x, w: (sparse_conv(x, w, g.maps["k3"].idx) * ct).sum(), (0, 1))(x, w)
+    gx2, gw2 = jax.grad(lambda x, w: (sparse_conv_grouped(x, w, g.gmaps["k3"]) * ct).sum(), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4, atol=1e-4)
+
+
+def test_parent_grads_match_flat():
+    rng, coords = _sorted_cloud(6, n=200)
+    g = _graph(coords)
+    cin, cout = 5, 6
+    cap1 = g.levels[1].capacity
+    cap0 = g.levels[0].capacity
+    x = jnp.asarray(rng.normal(size=(cap1, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(cap0, cout)).astype(np.float32))
+
+    gx1, gw1 = jax.grad(lambda x, w: (sparse_conv(x, w, g.maps["up1"].idx) * ct).sum(), (0, 1))(x, w)
+    gx2, gw2 = jax.grad(lambda x, w: (sparse_conv_parent(x, w, g.gmaps["up1"]) * ct).sum(), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4, atol=1e-4)
+
+
+def test_model_forward_same_with_and_without_fusion():
+    """End-to-end: Res16UNet output identical with fused and flat maps."""
+    from languagegroundedsemseg_tpu.models.res16unet import Res16UNet14A, res16unet_graph_spec
+    from languagegroundedsemseg_tpu.sparse.graph_host import build_graph as bg
+
+    rng, coords = _sorted_cloud(7, n=300)
+    spec = res16unet_graph_spec()
+    caps = default_capacities(384, spec.num_levels, ratios=[1, 1, 1, 1, 1])
+    g_fused = bg(coords, spec, caps, fuse=True)
+    g_flat = bg(coords, spec, caps, fuse=False)
+    feats = jnp.asarray(rng.normal(size=(384, 3)).astype(np.float32))
+    model = Res16UNet14A(out_channels=11)
+    variables = model.init(jax.random.PRNGKey(0), feats, g_flat, train=False)
+    out_flat, _ = model.apply(variables, feats, g_flat, train=False)
+    out_fused, _ = model.apply(variables, feats, g_fused, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_flat), rtol=2e-4, atol=2e-4
+    )

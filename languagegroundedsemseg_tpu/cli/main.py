@@ -1,0 +1,39 @@
+"""CLI entry point: ``python -m languagegroundedsemseg_tpu.cli.main --model
+Res16UNet34C --dataset Scannet200Voxelization2cmDataset ...``
+
+The flag surface mirrors the reference's main.py (reference main.py:55-201);
+trainer-mode selection, resume discovery, and train/test dispatch match its
+behavior.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+from languagegroundedsemseg_tpu.config import get_config
+
+
+def main(argv=None):
+    config = get_config(argv)
+    logging.basicConfig(
+        level=logging.INFO,
+        format=f"%(asctime)s [{os.uname().nodename}] %(message)s",
+    )
+
+    from languagegroundedsemseg_tpu.train.trainer import Trainer, select_mode
+
+    mode = select_mode(config)
+    logging.info("mode=%s model=%s dataset=%s", mode, config.model, config.dataset)
+
+    trainer = Trainer(config)
+    if config.is_train:
+        trainer.fit()
+    metrics = trainer.test()
+    logging.info("final metrics: %s", metrics)
+    return metrics
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -7,6 +7,8 @@ from __future__ import annotations
 import inspect
 
 from languagegroundedsemseg_tpu.models import res16unet as _res16unet
+from languagegroundedsemseg_tpu.models import clip_models as _clip_models
+from languagegroundedsemseg_tpu.models import classifier as _classifier
 from languagegroundedsemseg_tpu.models.res16unet import Res16UNetBase, res16unet_graph_spec
 
 _REGISTRY: dict[str, type] = {}
@@ -27,6 +29,8 @@ def _register_module_nets(module):
 
 
 _register_module_nets(_res16unet)
+_register_module_nets(_clip_models)
+_register_module_nets(_classifier)
 
 
 def load_model(name: str) -> type:

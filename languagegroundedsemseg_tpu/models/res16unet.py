@@ -108,6 +108,17 @@ class Res16UNetBase(nn.Module):
         train: bool = False,
         representation_only: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self._forward(feats, graph, train, representation_only)
+
+    def _forward(
+        self,
+        feats: jnp.ndarray,
+        graph: ConvGraph,
+        train: bool = False,
+        representation_only: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Body shared by variant __call__ overrides (must run inside the
+        single active compact method)."""
         P, L = self.PLANES, self.LAYERS
         ks0 = self.conv1_kernel_size
         masks = [graph.levels[l].mask() for l in range(NUM_LEVELS)]
@@ -149,8 +160,14 @@ class Res16UNetBase(nn.Module):
         features = out
         if representation_only:
             return features, features
-        logits = SparseConv(self.out_channels, None, use_bias=True, dtype=self.dtype, name="final")(features, graph)
+        logits = self.final_head(features, graph, bidx[0], masks[0], train)
         return logits, features
+
+    def final_head(self, features, graph, bidx0, mask0, train):
+        """Default classifier: pointwise conv with bias (reference
+        models/res16unet.py:193). CLIP variants override with deeper heads
+        (models/clip_models.py:408-437)."""
+        return SparseConv(self.out_channels, None, use_bias=True, dtype=self.dtype, name="final")(features, graph)
 
 
 # ---- Variant zoo (reference models/res16unet.py:273-355) -------------------

@@ -1,0 +1,324 @@
+"""Training orchestration: the replacement for main.py + the PL trainer
+modules (reference main.py:55-201, lib/train_test/pl_*Trainer.py).
+
+Mode selection mirrors main.py:160-175:
+- ``use_embedding_loss`` set and != 'both'  -> representation pretraining
+- 'Classifier' in model name               -> classifier fine-tuning
+- otherwise                                -> baseline supervised training
+
+One Trainer drives: data loaders (prefetching, fixed-capacity), jitted
+train/eval steps (optionally shard_map'ed over the device mesh), metric
+accumulation (device-side confusion psum), LR scheduling incl
+ReduceLROnPlateau, best-checkpoint tracking, and resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from languagegroundedsemseg_tpu.config import Config
+from languagegroundedsemseg_tpu.data.batching import BatchBuilder
+from languagegroundedsemseg_tpu.data.loader import initialize_data_loader, load_dataset
+from languagegroundedsemseg_tpu.eval.miou import IoUEvaluator, fast_hist_jax
+from languagegroundedsemseg_tpu.losses.contrastive import feature_sim
+from languagegroundedsemseg_tpu.models import load_model
+from languagegroundedsemseg_tpu.parallel.dp import shard_train_step, stack_batches
+from languagegroundedsemseg_tpu.parallel.mesh import make_mesh
+from languagegroundedsemseg_tpu.train.checkpoints import (
+    CheckpointManager,
+    find_resume_checkpoint,
+    restore_checkpoint,
+)
+from languagegroundedsemseg_tpu.train.objectives import (
+    make_baseline_objective,
+    make_representation_objective,
+)
+from languagegroundedsemseg_tpu.train.solvers import initialize_optimizer, make_lr_schedule
+from languagegroundedsemseg_tpu.train.state import TrainState
+from languagegroundedsemseg_tpu.train.step import make_train_step
+
+
+def select_mode(config: Config) -> str:
+    if config.use_embedding_loss and config.use_embedding_loss != "both":
+        return "representation"
+    if "Classifier" in config.model:
+        return "classifier"
+    return "baseline"
+
+
+class Trainer:
+    def __init__(self, config: Config, mode: Optional[str] = None):
+        self.config = config
+        self.mode = mode or select_mode(config)
+        self.log_dir = config.log_dir
+        os.makedirs(self.log_dir, exist_ok=True)
+
+        n_dev = config.num_devices or len(jax.devices())
+        self.n_dev = max(1, min(n_dev, len(jax.devices())))
+        self.mesh = make_mesh(self.n_dev) if self.n_dev > 1 else None
+        axis = "data" if self.mesh is not None else None
+
+        # Data
+        self.DatasetClass = load_dataset(config.dataset)
+        self.train_loader = initialize_data_loader(
+            self.DatasetClass, config, config.train_phase,
+            num_workers=config.num_workers, shuffle=True, repeat=False,
+            augment_data=config.train_augmentation, batch_size=config.batch_size,
+            limit_numpoints=config.train_limit_numpoints, num_devices=self.n_dev,
+        )
+        self.val_loader = initialize_data_loader(
+            self.DatasetClass, config, config.val_phase,
+            num_workers=config.num_val_workers, shuffle=False, repeat=False,
+            augment_data=False, batch_size=config.val_batch_size,
+            limit_numpoints=config.train_limit_numpoints, num_devices=1,
+        )
+        self.dataset = self.train_loader.dataset
+        self.num_labels = self.dataset.num_train_labels
+
+        # Model
+        import dataclasses as _dc
+
+        dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+        model_cls = load_model(config.model)
+        field_names = {f.name for f in _dc.fields(model_cls)}
+
+        def _mk(axis_name):
+            kw = dict(
+                out_channels=self.num_labels,
+                conv1_kernel_size=config.conv1_kernel_size,
+                bn_momentum=config.bn_momentum,
+                axis_name=axis_name,
+                max_batch=max(config.batch_size, config.val_batch_size) + 1,
+                dtype=dtype,
+            )
+            return model_cls(**{k: v for k, v in kw.items() if k in field_names})
+
+        self.model = _mk(axis)
+        self.eval_model = self.model if axis is None else _mk(None)
+        self.representation_only = self.mode == "representation"
+
+        # Objective
+        anchors = getattr(self.dataset, "loaded_text_features", None)
+        self.anchors = None if anchors is None else np.asarray(anchors)[:, 0, :]
+        split = getattr(self.dataset, "frequency_organized_cats", None)
+        weights = getattr(self.dataset, "category_weights", None)
+        if self.mode == "representation":
+            assert self.anchors is not None, "representation mode needs text anchors"
+            objective = make_representation_objective(config, self.anchors, split)
+        else:
+            objective = make_baseline_objective(config, weights, split, self.anchors)
+
+        # Optimizer / schedule: the reference steps schedulers per epoch
+        # (PL default), so the schedule consumes floor(step / steps_per_epoch).
+        steps_per_epoch = max(len(self.train_loader), 1)
+        epoch_sched = make_lr_schedule(
+            config.scheduler, config.lr,
+            step_size=config.step_size, step_gamma=config.step_gamma,
+            multi_step_milestones=config.multi_step_milestones,
+            poly_power=config.poly_power,
+            max_steps=config.max_epoch if config.scheduler == "PolyLR" else config.max_iter,
+            exp_gamma=config.exp_gamma, exp_step_size=config.exp_step_size,
+        )
+        unit = "epoch" if config.scheduler in ("MultiStepLR", "PolyLR") else "step"
+        sched = (
+            (lambda s: epoch_sched(jnp.floor(s / steps_per_epoch)))
+            if unit == "epoch"
+            else epoch_sched
+        )
+        self.tx = initialize_optimizer(config, sched)
+
+        # Init state
+        init_batch = self._first_batch()
+        variables = self.eval_model.init(
+            jax.random.PRNGKey(config.seed), init_batch.feats, init_batch.graph, train=False
+        )
+        variables = self._maybe_load_weights(variables)
+        self.state = TrainState.create(variables, self.tx)
+
+        # Steps
+        step = make_train_step(
+            self.model, self.tx, objective, axis_name=axis,
+            representation_only=self.representation_only,
+        )
+        self.p_train_step = (
+            jax.jit(step) if self.mesh is None else shard_train_step(step, self.mesh)
+        )
+        self.p_eval_metrics = jax.jit(self._eval_metrics_fn)
+
+        monitors = {"val_miou": "max"}
+        if self.mode == "representation":
+            monitors["val_loss"] = "min"
+        self.ckpt = CheckpointManager(self.log_dir, monitors)
+        self.plateau_best = None
+        self.plateau_wait = 0
+        self._log_f = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
+        with open(os.path.join(self.log_dir, "config.json"), "w") as f:
+            f.write(config.to_json())
+
+    # ------------------------------------------------------------------
+
+    def _first_batch(self):
+        cfg = self.config
+        from languagegroundedsemseg_tpu.models.res16unet import res16unet_graph_spec
+
+        spec_fn = getattr(self.model, "graph_spec", None)
+        builder = BatchBuilder(
+            spec=spec_fn(cfg.conv1_kernel_size) if spec_fn else res16unet_graph_spec(cfg.conv1_kernel_size),
+            ignore_index=cfg.ignore_label,
+            limit_numpoints=cfg.train_limit_numpoints,
+            fixed_capacity=cfg.fixed_capacity or None,
+            level_ratios=cfg.level_capacity_ratios,
+        )
+        item = self.dataset.get_item(0, np.random.default_rng(0))
+        feats = item["feats"]
+        if cfg.normalize_color:
+            feats = feats.copy()
+            feats[:, :3] = feats[:, :3] / 255.0 - 0.5
+        labels = item["labels"]
+        if labels is not None and labels.ndim == 2:
+            labels = labels[:, 0]
+        return builder.build([(item["coords"], feats, labels)])
+
+    def _maybe_load_weights(self, variables):
+        cfg = self.config
+        if cfg.weights and cfg.weights not in ("None", ""):
+            from languagegroundedsemseg_tpu.train.checkpoints import (
+                load_torch_state_dict,
+                torch_to_flax_params,
+            )
+
+            if cfg.weights.endswith((".pth", ".tar")) or "torch" in cfg.weights:
+                sd = load_torch_state_dict(cfg.weights)
+                params, stats, skipped = torch_to_flax_params(
+                    sd, variables["params"], variables.get("batch_stats", {})
+                )
+                print(f"loaded torch weights; skipped {len(skipped)} tensors")
+                return {"params": params, "batch_stats": stats}
+        return variables
+
+    def _eval_metrics_fn(self, state: TrainState, batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out_a, out_b = self.eval_model.apply(
+            variables, batch.feats, batch.graph, train=False,
+            representation_only=self.representation_only,
+        )
+        row_mask = batch.graph.levels[0].mask()
+        if self.representation_only:
+            sims = feature_sim(out_a, jnp.asarray(self.anchors), self.config.representation_distance_type)
+            pred = jnp.argmax(sims, axis=-1)
+            logits = sims
+        else:
+            logits = out_a
+            pred = jnp.argmax(out_a, axis=-1)
+        hist = fast_hist_jax(pred, batch.labels, self.num_labels, row_mask)
+        from languagegroundedsemseg_tpu.losses.classification import cross_entropy_loss
+
+        loss = cross_entropy_loss(
+            logits, batch.labels, ignore_index=self.config.ignore_label, row_mask=row_mask
+        )
+        return hist, loss, pred
+
+    # ------------------------------------------------------------------
+
+    def log(self, record: Dict):
+        record = {k: (float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v)
+                  for k, v in record.items()}
+        self._log_f.write(json.dumps(record) + "\n")
+        self._log_f.flush()
+
+    def validate(self, max_batches: Optional[int] = None) -> Dict[str, float]:
+        split = getattr(self.dataset, "frequency_organized_cats", None)
+        ev = IoUEvaluator(self.num_labels, split, getattr(self.dataset, "CLASS_LABELS", None))
+        losses, count = 0.0, 0
+        for i, batch in enumerate(self.val_loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            hist, loss, _ = self.p_eval_metrics(self.state, batch)
+            ev.update_hist(np.asarray(hist))
+            losses += float(loss)
+            count += 1
+        m = ev.compute()
+        out = {
+            "val_miou": m["miou"], "val_macc": m["macc"],
+            "val_loss": losses / max(count, 1),
+        }
+        for k in ("head_miou", "common_miou", "tail_miou"):
+            if k in m:
+                out["val_" + k] = m[k]
+        return out
+
+    def fit(self, max_epochs: Optional[int] = None, val_every: int = 1,
+            max_steps_per_epoch: Optional[int] = None):
+        cfg = self.config
+        epochs = max_epochs if max_epochs is not None else cfg.max_epoch
+
+        if cfg.resume:
+            path = cfg.resume if os.path.isfile(cfg.resume) else find_resume_checkpoint(cfg.resume)
+            if path:
+                self.state = restore_checkpoint(path, self.state)
+                print(f"resumed from {path} at step {int(self.state.step)}")
+
+        key = jax.random.PRNGKey(cfg.seed)
+        for epoch in range(epochs):
+            t0 = time.time()
+            n_steps, loss_sum = 0, 0.0
+            for batch in self.train_loader:
+                self.state, metrics = self.p_train_step(self.state, batch, key)
+                n_steps += 1
+                loss_sum += float(metrics["loss"])
+                if n_steps % cfg.stat_freq == 0:
+                    self.log({"phase": "train", "epoch": epoch,
+                              "step": int(self.state.step),
+                              **{k: float(v) for k, v in metrics.items()}})
+                if max_steps_per_epoch and n_steps >= max_steps_per_epoch:
+                    break
+            train_loss = loss_sum / max(n_steps, 1)
+
+            val_metrics = {}
+            if (epoch + 1) % val_every == 0:
+                val_metrics = self.validate()
+                self._plateau_update(val_metrics)
+            rec = {"phase": "epoch", "epoch": epoch, "step": int(self.state.step),
+                   "train_loss": train_loss, "time_s": time.time() - t0, **val_metrics}
+            self.log(rec)
+            print(json.dumps(rec))
+            self.ckpt.save(self.state, val_metrics, int(self.state.step))
+        return self.state
+
+    def _plateau_update(self, val_metrics: Dict[str, float]):
+        cfg = self.config
+        if cfg.scheduler != "ReduceLROnPlateau":
+            return
+        monitor = val_metrics.get(cfg.scheadule_monitor.replace("val_", "val_"), None)
+        if monitor is None:
+            monitor = val_metrics.get("val_miou")
+        if self.plateau_best is None or monitor > self.plateau_best:
+            self.plateau_best = monitor
+            self.plateau_wait = 0
+        else:
+            self.plateau_wait += 1
+            if self.plateau_wait > cfg.reduce_patience:
+                new_scale = float(self.state.lr_scale) * cfg.step_gamma
+                floor = cfg.scheduler_min_lr / max(cfg.lr, 1e-12)
+                self.state = self.state.replace(
+                    lr_scale=jnp.asarray(max(new_scale, floor), jnp.float32)
+                )
+                self.plateau_wait = 0
+
+    def test(self, save_predictions: bool = False):
+        """Validation pass + optional full-pointcloud eval (reference
+        on_test_epoch_end -> dataset.test_pointcloud)."""
+        metrics = self.validate()
+        if self.config.test_original_pointcloud and hasattr(self.dataset, "test_pointcloud"):
+            miou, _ = self.val_loader.dataset.test_pointcloud(
+                self.config.visualize_path, self.num_labels
+            )
+            metrics["full_cloud_miou"] = miou
+        return metrics

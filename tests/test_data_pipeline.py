@@ -1,0 +1,130 @@
+"""Data layer: transforms, voxelizer, datasets, loader."""
+
+import numpy as np
+import pytest
+
+from languagegroundedsemseg_tpu.config import Config
+from languagegroundedsemseg_tpu.data import transforms as t
+from languagegroundedsemseg_tpu.data.batching import BatchBuilder
+from languagegroundedsemseg_tpu.data.loader import DataLoader, initialize_data_loader, load_dataset
+from languagegroundedsemseg_tpu.data.voxelizer import Voxelizer
+from languagegroundedsemseg_tpu.models.res16unet import res16unet_graph_spec
+
+
+def _cfg(**kw):
+    kw.setdefault("ignore_label", 255)
+    kw.setdefault("fixed_capacity", 8192)
+    return Config(**kw)
+
+
+def test_voxelizer_basic():
+    rng = np.random.default_rng(0)
+    v = Voxelizer(voxel_size=0.05, use_augmentation=False)
+    coords = rng.random((5000, 3)) * 2
+    feats = rng.random((5000, 3)) * 255
+    labels = rng.integers(0, 5, 5000)
+    vc, vf, vl, (m_v, m_r) = v.voxelize(rng, coords, feats, labels)
+    assert vc.dtype == np.int32
+    assert len(vc) == len(np.unique(vc, axis=0))
+    assert len(vc) == len(vf) == len(vl)
+    np.testing.assert_allclose(np.diag(m_v)[:3], 20.0)  # 1/voxel_size
+
+
+def test_voxelizer_augmentation_rotates():
+    rng = np.random.default_rng(1)
+    v = Voxelizer(
+        voxel_size=0.05,
+        use_augmentation=True,
+        scale_augmentation_bound=(0.9, 1.1),
+        rotation_augmentation_bound=((-np.pi, np.pi), None, None),
+    )
+    _, m_r = v.get_transformation_matrix(rng)
+    assert not np.allclose(m_r, np.eye(4))
+
+
+def test_voxelizer_pair_correspondences():
+    rng = np.random.default_rng(2)
+    v = Voxelizer(voxel_size=0.05, use_augmentation=False)
+    coords = rng.random((3000, 3)) * 2
+    feats = rng.random((3000, 3)) * 255
+    labels = rng.integers(0, 3, 3000)
+    (c0, f0, l0, _, corr0), (c1, f1, l1, _, corr1) = v.voxelize_pair(
+        rng, coords, feats, labels, dropout_ratio=0.3
+    )
+    valid = corr0 >= 0
+    assert valid.mean() > 0.5
+    # correspondences land on same-label points
+    assert (l1[corr0[valid]] == l0[valid]).mean() > 0.99
+
+
+def test_transforms_preserve_shapes_and_ranges():
+    rng = np.random.default_rng(3)
+    coords = rng.random((1000, 3)) * 3
+    feats = rng.random((1000, 3)) * 255
+    labels = rng.integers(0, 20, 1000)
+    stack = t.Compose(
+        [
+            t.RandomHorizontalFlip("z", False),
+            t.ChromaticAutoContrast(),
+            t.ChromaticTranslation(0.1),
+            t.ChromaticJitter(0.05),
+            t.HueSaturationTranslation(0.5, 0.2),
+            t.ElasticDistortion(((0.2, 0.4),)),
+        ]
+    )
+    c2, f2, l2 = stack(rng, coords, feats, labels)
+    assert c2.shape == coords.shape and f2.shape == feats.shape
+    assert f2.min() >= 0 and f2.max() <= 255
+
+
+def test_label_map_scannet200():
+    cfg = _cfg()
+    ds_cls = load_dataset("Scannet200Voxelization2cmDataset")
+    ds = ds_cls(cfg, phase="val", augment_data=False)
+    assert ds.num_train_labels == 200
+    # wall (raw id 1) maps to train id 0
+    assert ds.label_map_array[1] == 0
+    # an unused raw id maps to ignore
+    assert ds.map_labels(np.array([0]))[0] == cfg.ignore_label
+    assert ds.frequency_organized_cats.shape == (200, 3)
+    assert ds.frequency_organized_cats.sum() == 200
+
+
+def test_synthetic_dataset_loader_end_to_end():
+    cfg = _cfg(batch_size=2)
+    ds_cls = load_dataset("SyntheticTiny20Dataset")
+    loader = initialize_data_loader(
+        ds_cls,
+        cfg,
+        phase="train",
+        num_workers=1,
+        shuffle=True,
+        repeat=False,
+        augment_data=True,
+        batch_size=2,
+        limit_numpoints=cfg.train_limit_numpoints,
+    )
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b.feats.shape[0] == 8192
+    n = int(np.asarray(b.graph.levels[0].num))
+    assert 0 < n <= 8192
+    labels = np.asarray(b.labels)
+    assert (labels[n:] == 255).all()
+    assert labels[:n].max() < 20
+    # color normalized to [-0.5, 0.5]
+    assert np.abs(np.asarray(b.feats)[:n]).max() <= 0.5 + 1e-6
+
+
+def test_loader_repeat_and_multidevice():
+    cfg = _cfg(batch_size=1, fixed_capacity=4096)
+    ds_cls = load_dataset("SyntheticTiny20Dataset")
+    loader = initialize_data_loader(
+        ds_cls, cfg, "train", 1, True, True, True, 1, 10_000_000, num_devices=2
+    )
+    it = iter(loader)
+    stacked = next(it)
+    assert stacked.feats.shape[0] == 2  # leading device axis
+    assert stacked.feats.shape[1] == 4096
+    next(it)  # repeat=True keeps going past one epoch

@@ -51,13 +51,17 @@ class BatchBuilder:
     def build(
         self,
         scenes: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+        extras: Optional[List[dict]] = None,
     ) -> TrainBatch:
         """scenes: list of (voxel_coords int32 (N,3), feats (N,F), labels (N,)).
+        extras: optional per-scene dicts of (N, ...) arrays carried through
+        dedup/sort/padding (instance centers, ids, ...); padded with zeros.
 
         Coordinates must already be quantized voxel integers (the voxelizer's
         output); duplicates within a scene are deduped here.
         """
         coords_l, feats_l, labels_l = [], [], []
+        extras_l: dict = {}
         total = 0
         for b, (vc, vf, vl) in enumerate(scenes):
             if total + len(vc) > self.limit_numpoints and b > 0:
@@ -68,28 +72,32 @@ class BatchBuilder:
             coords_l.append(bc)
             feats_l.append(vf)
             labels_l.append(vl)
+            if extras is not None:
+                for k, v in extras[b].items():
+                    extras_l.setdefault(k, []).append(np.asarray(v))
             total += len(vc)
 
         coords = np.concatenate(coords_l, axis=0)
         feats = np.concatenate(feats_l, axis=0).astype(np.float32)
         labels = np.concatenate(labels_l, axis=0).astype(np.int32)
+        extra_cat = {k: np.concatenate(v, axis=0) for k, v in extras_l.items()}
 
-        # Safety dedup across the batch (scenes are independent via batch col).
-        uniq = quantize(coords)
-        if len(uniq) != len(coords):
-            uniq = np.sort(uniq)
-            coords, feats, labels = coords[uniq], feats[uniq], labels[uniq]
-
-        # Sort rows by packed coordinate key: grouped (z-run fused) kernel
-        # maps rely on z-neighbors being adjacent rows.
+        # Safety dedup across the batch (scenes are independent via batch col),
+        # then sort rows by packed key: grouped kernel maps rely on
+        # z-neighbors being adjacent rows.
         from languagegroundedsemseg_tpu.sparse.graph_host import pack_keys
 
-        order = np.argsort(pack_keys(coords), kind="stable")
-        coords, feats, labels = coords[order], feats[order], labels[order]
+        keep = quantize(coords)
+        if len(keep) != len(coords):
+            keep = np.sort(keep)
+        else:
+            keep = np.arange(len(coords))
+        order = keep[np.argsort(pack_keys(coords[keep]), kind="stable")]
 
-        cap0 = self.fixed_capacity or bucket_capacity(len(coords), self.buckets)
-        if len(coords) > cap0:
-            coords, feats, labels = coords[:cap0], feats[:cap0], labels[:cap0]
+        cap0 = self.fixed_capacity or bucket_capacity(len(order), self.buckets)
+        order = order[:cap0]
+        coords, feats, labels = coords[order], feats[order], labels[order]
+        extra_cat = {k: v[order] for k, v in extra_cat.items()}
 
         graph = build_graph(coords, self.spec, self.capacities(cap0))
         n = len(coords)
@@ -97,4 +105,9 @@ class BatchBuilder:
         feats_p[:n] = feats
         labels_p = np.full((cap0,), self.ignore_index, dtype=np.int32)
         labels_p[:n] = labels
-        return TrainBatch(feats=feats_p, labels=labels_p, graph=graph, extras={})
+        extras_p = {}
+        for k, v in extra_cat.items():
+            pad = np.zeros((cap0,) + v.shape[1:], dtype=v.dtype)
+            pad[:n] = v
+            extras_p[k] = pad
+        return TrainBatch(feats=feats_p, labels=labels_p, graph=graph, extras=extras_p)

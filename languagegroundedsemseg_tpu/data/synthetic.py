@@ -24,9 +24,11 @@ def synthetic_scene(
     num_objects: int = 12,
     num_classes: int = 200,
     noise: float = 0.005,
+    return_instances: bool = False,
 ):
     """Returns (xyz float32 (N,3) meters, rgb float32 (N,3) in [0,255],
-    labels int32 (N,))."""
+    labels int32 (N,)) and, if return_instances, per-point instance ids
+    (walls/floor = -1, each furniture box its own id)."""
     ex = extent * (0.7 + 0.6 * rng.random())
     ey = extent * (0.7 + 0.6 * rng.random())
     parts = []
@@ -46,12 +48,12 @@ def synthetic_scene(
         pts = _surface_points(rng, n, o, u, v)
         col = np.full((n, 3), 140.0) + rng.normal(0, 12, (n, 3))
         labs = np.full(n, lab, dtype=np.int32)
-        parts.append((pts, col, labs))
+        parts.append((pts, col, labs, np.full(n, -1, dtype=np.int32)))
 
     # furniture boxes
     remaining = num_points - int(wall_n.sum())
     per_obj = max(remaining // max(num_objects, 1), 1)
-    for _ in range(num_objects):
+    for obj_id in range(num_objects):
         size = np.array([0.3, 0.3, 0.2]) + rng.random(3) * np.array([1.2, 1.2, 1.0])
         pos = np.array([rng.random() * (ex - size[0]), rng.random() * (ey - size[1]), 0.0])
         lab = int(rng.integers(2, num_classes))
@@ -68,12 +70,16 @@ def synthetic_scene(
         for o, u, v in faces:
             pts = _surface_points(rng, n_face, o, u, v)
             col = base_col[None, :] + rng.normal(0, 8, (n_face, 3))
-            parts.append((pts, col, np.full(n_face, lab, dtype=np.int32)))
+            parts.append((pts, col, np.full(n_face, lab, dtype=np.int32),
+                          np.full(n_face, obj_id, dtype=np.int32)))
 
     xyz = np.concatenate([p[0] for p in parts]).astype(np.float32)
     rgb = np.clip(np.concatenate([p[1] for p in parts]), 0, 255).astype(np.float32)
     labels = np.concatenate([p[2] for p in parts]).astype(np.int32)
+    inst = np.concatenate([p[3] for p in parts]).astype(np.int32)
     xyz += rng.normal(0, noise, xyz.shape).astype(np.float32)
 
     perm = rng.permutation(len(xyz))[:num_points]
+    if return_instances:
+        return xyz[perm], rgb[perm], labels[perm], inst[perm]
     return xyz[perm], rgb[perm], labels[perm]

@@ -1,0 +1,74 @@
+"""Vote-shift clustering -> instance proposals.
+
+Mirror of reference downstream/insseg/lib/bfs/bfs.py:83-157 Clustering: the
+vertices are coords + predicted offsets / voxel_size; a radius graph over
+same-semantic-label points is clustered into connected components; clusters
+under ``propose_points`` are dropped; confidence = score_func over the
+cluster's class scores.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from languagegroundedsemseg_tpu.ops.cluster import cluster_points
+
+
+class Clustering:
+    def __init__(
+        self,
+        ignored_labels: List[int],
+        class_mapping: Optional[np.ndarray] = None,
+        thresh: float = 0.03,
+        closed_points: int = 300,
+        min_points: int = 50,
+        propose_points: int = 100,
+        score_func=np.max,
+        max_neighbors: int = 48,
+    ):
+        self.ignored_labels = list(ignored_labels)
+        self.class_mapping = class_mapping  # train id -> raw benchmark id
+        self.thresh = thresh
+        self.closed_points = closed_points
+        self.min_points = min_points
+        self.propose_points = propose_points
+        self.score_func = score_func
+        self.max_neighbors = max_neighbors
+
+    def get_instances(self, vertices: np.ndarray, scores: np.ndarray) -> Dict[int, dict]:
+        """vertices (N, 3) vote-shifted positions; scores (N, C) softmax.
+
+        -> {proposal_id: {conf, label_id, pred_mask}} (reference :146-157).
+        """
+        labels = scores.argmax(axis=1)
+        mapped = (
+            self.class_mapping[labels] if self.class_mapping is not None else labels
+        )
+        ignore = np.isin(mapped, self.ignored_labels)
+
+        comp, n_comp = cluster_points(
+            vertices,
+            labels,
+            radius=self.thresh,
+            max_neighbors=self.max_neighbors,
+            min_points=self.min_points,
+            ignored_mask=ignore,
+        )
+
+        instances = {}
+        pid = 0
+        for c in range(n_comp):
+            mask = comp == c
+            if mask.sum() <= self.propose_points:
+                continue
+            lab = labels[mask][0]
+            conf = float(self.score_func(scores[mask, lab]))
+            instances[pid] = {
+                "conf": conf,
+                "label_id": int(self.class_mapping[lab]) if self.class_mapping is not None else int(lab),
+                "pred_mask": mask,
+            }
+            pid += 1
+        return instances

@@ -1,0 +1,132 @@
+"""Instance segmentation subsystem: ops, clustering, evaluator, trainer."""
+
+import numpy as np
+
+from languagegroundedsemseg_tpu.config import Config
+from languagegroundedsemseg_tpu.insseg.evaluation import InstanceEvaluator
+from languagegroundedsemseg_tpu.ops.cluster import cluster_points, connected_components
+from languagegroundedsemseg_tpu.ops.points import (
+    ball_query,
+    furthest_point_sample,
+    three_interpolate,
+    three_nn,
+)
+import jax.numpy as jnp
+
+
+def test_fps_spreads_points():
+    rng = np.random.default_rng(0)
+    pts = rng.random((500, 3)).astype(np.float32)
+    idx = np.asarray(furthest_point_sample(jnp.asarray(pts), 32))
+    assert len(np.unique(idx)) == 32
+    # FPS min pairwise distance should beat random sampling's
+    sel = pts[idx]
+    d = np.linalg.norm(sel[:, None] - sel[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    rnd = pts[rng.choice(500, 32, replace=False)]
+    dr = np.linalg.norm(rnd[:, None] - rnd[None, :], axis=-1)
+    np.fill_diagonal(dr, np.inf)
+    assert d.min() > dr.min()
+
+
+def test_three_nn_interpolate_matches_brute():
+    rng = np.random.default_rng(1)
+    ref = rng.random((200, 3)).astype(np.float32)
+    query = rng.random((50, 3)).astype(np.float32)
+    feats = rng.random((200, 8)).astype(np.float32)
+    dist, idx = three_nn(jnp.asarray(query), jnp.asarray(ref))
+    d_brute = np.linalg.norm(query[:, None] - ref[None], axis=-1)
+    idx_brute = np.argsort(d_brute, axis=1)[:, :3]
+    assert set(map(tuple, np.sort(np.asarray(idx), 1))) == set(
+        map(tuple, np.sort(idx_brute, 1))
+    )
+    out = np.asarray(three_interpolate(jnp.asarray(feats), idx, dist))
+    w = 1.0 / np.maximum(np.sort(d_brute, 1)[:, :3], 1e-8) ** 2
+    w = w / w.sum(1, keepdims=True)
+    want = (feats[idx_brute] * w[..., None]).sum(1)
+    np.testing.assert_allclose(out, want, rtol=1e-3, atol=1e-4)
+
+
+def test_ball_query_radius():
+    rng = np.random.default_rng(2)
+    ref = rng.random((300, 3)).astype(np.float32)
+    q = ref[:10]
+    idx = np.asarray(ball_query(jnp.asarray(q), jnp.asarray(ref), 0.2, 16))
+    for i in range(10):
+        for j in idx[i]:
+            if j >= 0:
+                assert np.linalg.norm(q[i] - ref[j]) <= 0.2 + 1e-5
+
+
+def test_connected_components_two_blobs():
+    # two chains + isolated point
+    nbrs = np.full((7, 2), -1, dtype=np.int32)
+    nbrs[0, 0] = 1; nbrs[1] = [0, 2]; nbrs[2, 0] = 1          # component {0,1,2}
+    nbrs[3, 0] = 4; nbrs[4] = [3, 5]; nbrs[5, 0] = 4          # component {3,4,5}
+    valid = np.ones(7, np.int32)
+    comp = np.asarray(connected_components(jnp.asarray(nbrs), jnp.asarray(valid)))
+    assert comp[0] == comp[1] == comp[2]
+    assert comp[3] == comp[4] == comp[5]
+    assert comp[0] != comp[3]
+    assert comp[6] not in (comp[0], comp[3])
+
+
+def test_cluster_points_separates_instances():
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 0.01, (200, 3)) + [0, 0, 0]
+    b = rng.normal(0, 0.01, (200, 3)) + [1, 0, 0]
+    pts = np.concatenate([a, b]).astype(np.float32)
+    labels = np.zeros(400, dtype=np.int64)
+    comp, n = cluster_points(pts, labels, radius=0.05, min_points=50)
+    assert n == 2
+    assert len(np.unique(comp[:200])) == 1
+    assert len(np.unique(comp[200:])) == 1
+    assert comp[0] != comp[200]
+    # different semantic labels split a spatial blob
+    labels2 = np.concatenate([np.zeros(100), np.ones(100), np.zeros(200)]).astype(int)
+    comp2, n2 = cluster_points(pts, labels2, radius=0.05, min_points=50)
+    assert n2 == 3
+
+
+def test_instance_evaluator_perfect_predictions():
+    ev = InstanceEvaluator([1, 2], ["a", "b"])
+    n = 500
+    sem = np.concatenate([np.full(250, 1), np.full(250, 2)])
+    inst = np.concatenate([np.full(125, 0), np.full(125, 1), np.full(125, 2), np.full(125, 3)])
+    ev.add_gt("scene0", sem, inst)
+    preds = {}
+    for i in range(4):
+        mask = np.zeros(n, bool)
+        mask[i * 125:(i + 1) * 125] = True
+        preds[i] = {"conf": 0.9, "label_id": 1 if i < 2 else 2, "pred_mask": mask}
+    ev.add_prediction("scene0", preds)
+    m = ev.evaluate()
+    assert m["all_ap"] == 1.0 and m["ap_50"] == 1.0 and m["ap_25"] == 1.0
+
+
+def test_instance_evaluator_penalizes_bad_masks():
+    ev = InstanceEvaluator([1], ["a"])
+    sem = np.full(400, 1)
+    inst = np.concatenate([np.full(200, 0), np.full(200, 1)])
+    ev.add_gt("s", sem, inst)
+    # one pred covering half of each GT -> IoU ~1/3 < 0.5
+    mask = np.zeros(400, bool)
+    mask[100:300] = True
+    ev.add_prediction("s", {0: {"conf": 0.9, "label_id": 1, "pred_mask": mask}})
+    m = ev.evaluate()
+    assert m["ap_50"] == 0.0
+    assert m["ap_25"] > 0.0  # IoU 1/3 passes the 0.25 threshold
+
+
+def test_insseg_trainer_end_to_end(tmp_path):
+    from languagegroundedsemseg_tpu.insseg.trainer import InssegTrainer
+
+    cfg = Config(
+        ignore_label=255, fixed_capacity=4096, batch_size=2, val_batch_size=1,
+        log_dir=str(tmp_path / "insseg"), model="InstanceRes16UNet14A", lr=0.05,
+    )
+    tr = InssegTrainer(cfg)
+    tr.fit(max_steps=3, log_every=10)
+    m = tr.validate(max_scenes=1)
+    assert 0.0 <= m["val_miou"] <= 1.0
+    assert np.isfinite(m["val_map25"]) or np.isnan(m["val_map25"])

@@ -16,10 +16,10 @@ import numpy as np
 
 from languagegroundedsemseg_tpu.sparse.graph_host import (
     GraphSpec,
-    build_graph,
     default_capacities,
     quantize,
 )
+from languagegroundedsemseg_tpu.sparse.graph_native import build_graph_native as build_graph
 from languagegroundedsemseg_tpu.train.step import TrainBatch
 
 

@@ -1,0 +1,164 @@
+"""ctypes bridge to the native C++ graph builder (csrc/graph_builder.cpp).
+
+Compiled on first use (g++, no pip install needed); every public entry falls
+back to the numpy builder if the toolchain or the .so is unavailable. The
+numpy builder is the correctness oracle — tests assert exact equality.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+from languagegroundedsemseg_tpu.sparse import graph_host as gh
+from languagegroundedsemseg_tpu.sparse.graph_host import GraphSpec, _pad_rows
+from languagegroundedsemseg_tpu.sparse.offsets import region_offsets
+from languagegroundedsemseg_tpu.sparse.types import ConvGraph, KernelMap, SparseLevel
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc", "graph_builder.cpp")
+_LIB_PATH = os.path.join(os.path.dirname(_SRC), "libgraph_builder.so")
+_lib = None
+_tried = False
+
+
+def _compile() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.isfile(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+        if not _compile():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.lgs_build_pyramid.restype = ctypes.c_int
+    lib.lgs_build_pyramid.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(i32p), i32p,
+    ]
+    lib.lgs_kernel_map.restype = ctypes.c_int
+    lib.lgs_kernel_map.argtypes = [
+        i32p, ctypes.c_int64, i32p, ctypes.c_int64,
+        i32p, ctypes.c_int, ctypes.c_int64, i32p,
+    ]
+    lib.lgs_quantize.restype = ctypes.c_int64
+    lib.lgs_quantize.argtypes = [i32p, ctypes.c_int64, i32p]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def build_graph_native(
+    coords0: np.ndarray,
+    spec: GraphSpec,
+    capacities: Sequence[int],
+    fuse: bool = True,
+    fuse_grouped: bool = False,
+) -> ConvGraph:
+    """Native-path equivalent of graph_host.build_graph (same outputs)."""
+    lib = get_lib()
+    if lib is None:
+        return gh.build_graph(coords0, spec, capacities, fuse=fuse, fuse_grouped=fuse_grouped)
+
+    coords0 = np.ascontiguousarray(coords0, dtype=np.int32)
+    L = spec.num_levels
+    caps = np.asarray(capacities, dtype=np.int64)
+    level_arrays = [np.zeros((capacities[l], 4), dtype=np.int32) for l in range(L)]
+    nums = np.zeros(L, dtype=np.int32)
+    ptrs = (ctypes.POINTER(ctypes.c_int32) * L)(*[_ptr(a) for a in level_arrays])
+    rc = lib.lgs_build_pyramid(
+        _ptr(coords0), coords0.shape[0], L,
+        caps.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), ptrs,
+        _ptr(nums),
+    )
+    assert rc == 0
+
+    levels = tuple(
+        SparseLevel(coords=level_arrays[l], num=np.int32(nums[l]), stride=1 << l)
+        for l in range(L)
+    )
+
+    maps, gmaps = {}, {}
+    for name, ms in spec.maps.items():
+        stride_in, stride_out = 1 << ms.level_in, 1 << ms.level_out
+        if ms.kind.transpose:
+            offs = -region_offsets(
+                ms.kind.region, ms.kind.kernel_size, ms.kind.dilation, stride_out, spec.d
+            )
+        else:
+            offs = region_offsets(
+                ms.kind.region, ms.kind.kernel_size, ms.kind.dilation, stride_in, spec.d
+            )
+        offs = np.ascontiguousarray(offs, dtype=np.int32)
+        k = offs.shape[0]
+        cap_out = capacities[ms.level_out]
+        idx = np.empty((k, cap_out), dtype=np.int32)
+        rc = lib.lgs_kernel_map(
+            _ptr(level_arrays[ms.level_in]), int(nums[ms.level_in]),
+            _ptr(level_arrays[ms.level_out]), int(nums[ms.level_out]),
+            _ptr(offs), k, cap_out, _ptr(idx),
+        )
+        assert rc == 0
+        center = -1
+        if (
+            not ms.kind.transpose and ms.kind.stride == 1
+            and ms.level_in == ms.level_out and ms.kind.kernel_size % 2 == 1
+            and ms.kind.kernel_size > 1
+        ):
+            zero_rows = np.flatnonzero((offs == 0).all(axis=1))
+            if zero_rows.size == 1:
+                center = int(zero_rows[0])
+        maps[name] = KernelMap(idx=idx, center_slot=center)
+        if fuse and ms.kind.kernel_size > 1 and ms.kind.transpose:
+            pm = gh._try_parent_map(idx)
+            if pm is not None:
+                gmaps[name] = pm
+                continue
+        if fuse and fuse_grouped and ms.kind.kernel_size > 1:
+            gm = gh._try_grouped_map(
+                idx, offs if not ms.kind.transpose else offs,
+                z_step=stride_in, identity_ok=ms.level_in == ms.level_out,
+            )
+            if gm is not None:
+                gmaps[name] = gm
+
+    return ConvGraph(levels=levels, maps=maps, gmaps=gmaps)
+
+
+def quantize_native(coords: np.ndarray) -> np.ndarray:
+    """First-occurrence dedup indices (input order), native path."""
+    lib = get_lib()
+    c = np.ascontiguousarray(coords, dtype=np.int32)
+    if c.shape[1] == 3:
+        c = np.concatenate([np.zeros((len(c), 1), np.int32), c], axis=1)
+    if lib is None:
+        return np.sort(gh.quantize(c))
+    keep = np.empty(len(c), dtype=np.int32)
+    m = lib.lgs_quantize(_ptr(c), len(c), _ptr(keep))
+    return keep[:m]

@@ -52,6 +52,7 @@ class BatchBuilder:
         self,
         scenes: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
         extras: Optional[List[dict]] = None,
+        return_layout: bool = False,
     ) -> TrainBatch:
         """scenes: list of (voxel_coords int32 (N,3), feats (N,F), labels (N,)).
         extras: optional per-scene dicts of (N, ...) arrays carried through
@@ -110,4 +111,11 @@ class BatchBuilder:
             pad = np.zeros((cap0,) + v.shape[1:], dtype=v.dtype)
             pad[:n] = v
             extras_p[k] = pad
-        return TrainBatch(feats=feats_p, labels=labels_p, graph=graph, extras=extras_p)
+        batch = TrainBatch(feats=feats_p, labels=labels_p, graph=graph, extras=extras_p)
+        if return_layout:
+            # order maps padded row -> original concatenated row; scene_offsets
+            # give each scene's base in the concatenated (pre-sort) space —
+            # callers remap cross-batch indices (paired-view correspondences).
+            offsets = np.cumsum([0] + [len(s[0]) for s in scenes[:-1]])
+            return batch, {"order": order, "scene_offsets": offsets}
+        return batch

@@ -9,6 +9,8 @@ import inspect
 from languagegroundedsemseg_tpu.models import res16unet as _res16unet
 from languagegroundedsemseg_tpu.models import clip_models as _clip_models
 from languagegroundedsemseg_tpu.models import classifier as _classifier
+from languagegroundedsemseg_tpu.models import resnet as _resnet
+from languagegroundedsemseg_tpu.models import resunet as _resunet
 from languagegroundedsemseg_tpu.models.res16unet import Res16UNetBase, res16unet_graph_spec
 
 _REGISTRY: dict[str, type] = {}
@@ -31,6 +33,8 @@ def _register_module_nets(module):
 _register_module_nets(_res16unet)
 _register_module_nets(_clip_models)
 _register_module_nets(_classifier)
+_register_module_nets(_resnet)
+_register_module_nets(_resunet)
 
 
 def load_model(name: str) -> type:

@@ -145,7 +145,7 @@ def torch_to_flax_params(
 
     for name, v in sd.items():
         v = np.asarray(v)
-        parts = name.split(".")
+        parts = _strip_prefixes(name).split(".")
         # block1.0.conv1.kernel -> block1_0.conv1.kernel
         joined = []
         i = 0
@@ -167,14 +167,18 @@ def torch_to_flax_params(
         elif tail in ("weight", "bias") and joined[-2] == "bn":
             nm = {"weight": "scale", "bias": "bias"}[tail]
             b2 = "/".join(joined[:-2])
-            ok = try_set(flat_params, f"{b2}/{nm}", v) or try_set(
-                flat_params, f"{b2}/BatchNorm/{nm}", v
+            ok = (
+                try_set(flat_params, f"{b2}/{nm}", v)
+                or try_set(flat_params, f"{b2}/SparseBatchNorm_0/{nm}", v)
+                or try_set(flat_params, f"{b2}/BatchNorm/{nm}", v)
             )
         elif tail in ("running_mean", "running_var") and joined[-2] == "bn":
             nm = {"running_mean": "mean", "running_var": "var"}[tail]
             b2 = "/".join(joined[:-2])
-            ok = try_set(flat_stats, f"{b2}/{nm}", v) or try_set(
-                flat_stats, f"{b2}/BatchNorm/{nm}", v
+            ok = (
+                try_set(flat_stats, f"{b2}/{nm}", v)
+                or try_set(flat_stats, f"{b2}/SparseBatchNorm_0/{nm}", v)
+                or try_set(flat_stats, f"{b2}/BatchNorm/{nm}", v)
             )
         elif tail == "bias":
             ok = try_set(flat_params, f"{base}/bias", v)

@@ -133,6 +133,23 @@ class Trainer:
             else epoch_sched
         )
         self.tx = initialize_optimizer(config, sched)
+        if config.classifier_only:
+            # Freeze everything but the final classifier head (reference
+            # set_classifier_mode, pl_BaselineTrainer.py:411 and
+            # --classifier_only, scripts/fine_tune_classifier.sh).
+            import optax as _optax
+
+            def _label(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: "train"
+                    if any("final" in str(getattr(p, "key", "")) for p in path)
+                    else "freeze",
+                    params,
+                )
+
+            self.tx = _optax.multi_transform(
+                {"train": self.tx, "freeze": _optax.set_to_zero()}, _label
+            )
 
         # Init state
         init_batch = self._first_batch()

@@ -18,6 +18,9 @@ import numpy as np
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from __graft_entry__ import _voxelize_scene
     from languagegroundedsemseg_tpu.data.batching import BatchBuilder
     from languagegroundedsemseg_tpu.models.res16unet import (
@@ -26,7 +29,11 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    builder = BatchBuilder(spec=res16unet_graph_spec(), fixed_capacity=262144)
+    builder = BatchBuilder(
+        spec=res16unet_graph_spec(),
+        fixed_capacity=262144,
+        level_ratios=(1, 0.55, 0.22, 0.08, 0.03),
+    )
     scenes = [_voxelize_scene(rng, 180_000) for _ in range(4)]
     batch = builder.build(scenes)
     n_valid = int(np.asarray(batch.graph.levels[0].num))

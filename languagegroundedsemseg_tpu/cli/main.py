@@ -22,6 +22,13 @@ def main(argv=None):
         format=f"%(asctime)s [{os.uname().nodename}] %(message)s",
     )
 
+    # Persistent XLA compilation cache: the fixed-capacity design compiles a
+    # handful of bucket shapes once, then every restart is a cache hit.
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/lgs_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from languagegroundedsemseg_tpu.train.trainer import Trainer, select_mode
 
     mode = select_mode(config)

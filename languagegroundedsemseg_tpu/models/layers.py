@@ -66,12 +66,25 @@ class SparseConv(nn.Module):
         xd = x.astype(self.dtype)
         wd = w.astype(self.dtype)
         bd = None if b is None else b.astype(self.dtype)
+        km = graph.maps[self.map_name]
         gm = graph.gmaps.get(self.map_name) if graph.gmaps else None
         if isinstance(gm, ParentMap):
-            return sparse_conv_parent(xd, wd, gm, bd)
+            # gather-only backward via the companion down map when present
+            comp = graph.maps.get(gm.companion) if gm.companion else None
+            return sparse_conv_parent(xd, wd, gm, bd, idx_down=None if comp is None else comp.idx)
         if isinstance(gm, GroupedKernelMap):
             return sparse_conv_grouped(xd, wd, gm, bd)
-        return sparse_conv(xd, wd, idx, bd, center_slot=graph.maps[self.map_name].center_slot)
+        companion_parent = None
+        if km.companion:
+            cpm = graph.gmaps.get(km.companion)
+            if isinstance(cpm, ParentMap):
+                companion_parent = (cpm.parent, cpm.kslot)
+        return sparse_conv(
+            xd, wd, idx, bd,
+            center_slot=km.center_slot,
+            mirror_perm=km.mirror_perm,
+            companion_parent=companion_parent,
+        )
 
 
 class SparseBatchNorm(nn.Module):

@@ -40,9 +40,14 @@ def res16unet_graph_spec(conv1_kernel_size: int = 3, d: int = 3) -> GraphSpec:
     if conv1_kernel_size != 3:
         maps[f"l0.k{conv1_kernel_size}"] = MapSpec(0, 0, ConvKind(kernel_size=conv1_kernel_size))
     for l in range(NUM_LEVELS - 1):
-        maps[f"down{l}"] = MapSpec(l, l + 1, ConvKind(kernel_size=2, stride=2))
+        maps[f"down{l}"] = MapSpec(
+            l, l + 1, ConvKind(kernel_size=2, stride=2), companion=f"up{l + 1}"
+        )
     for l in range(1, NUM_LEVELS):
-        maps[f"up{l}"] = MapSpec(l, l - 1, ConvKind(kernel_size=2, stride=2, transpose=True))
+        maps[f"up{l}"] = MapSpec(
+            l, l - 1, ConvKind(kernel_size=2, stride=2, transpose=True),
+            companion=f"down{l - 1}",
+        )
     return GraphSpec(num_levels=NUM_LEVELS, maps=maps, d=d)
 
 
@@ -67,6 +72,10 @@ class Res16UNetBase(nn.Module):
     # block8's last relu is stripped (NoReluBlock) so raw features live in
     # the CLIP embedding space.
     strip_final_relu: bool = False
+    # jax.checkpoint each residual block: trades ~1 extra forward of FLOPs
+    # for O(depth) -> O(1) activation memory per level (larger batches /
+    # capacities in training).
+    remat: bool = False
 
     @classmethod
     def graph_spec(cls, conv1_kernel_size: int = 3, d: int = 3) -> GraphSpec:
@@ -84,6 +93,8 @@ class Res16UNetBase(nn.Module):
 
     def _blocks(self, n_blocks, planes, lvl, name, final_relu_last=True):
         block_cls = BLOCKS[self.BLOCK]
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(3,))
         return [
             block_cls(
                 planes=planes,

@@ -114,6 +114,8 @@ def sparse_conv(
     idx: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     center_slot: int = -1,
+    mirror_perm=None,
+    companion_parent=None,
 ) -> jnp.ndarray:
     """Apply a sparse convolution.
 
@@ -129,10 +131,121 @@ def sparse_conv(
     assert w.ndim == 3 and idx.ndim == 2 and w.shape[0] == idx.shape[0], (
         f"w {w.shape} vs idx {idx.shape}"
     )
-    out = _conv_core(x, w, idx, center_slot)
+    if mirror_perm is not None:
+        out = _conv_core_mirror(x, w, idx, center_slot, tuple(mirror_perm))
+    elif companion_parent is not None:
+        parent, kslot = companion_parent
+        out = _conv_core_cparent(x, w, idx, parent, kslot)
+    else:
+        out = _conv_core(x, w, idx, center_slot)
     if bias is not None:
         out = out + bias
     return out
+
+
+# ---- Gather-only backward variants -----------------------------------------
+#
+# TPU scatter-add measures ~4x slower per row than gather, so the scatter-
+# based dX above is the training bottleneck. When the kernel geometry admits
+# a transpose map, dX is exactly the *forward* op with transposed weights:
+#   stride-1 symmetric region: dX = conv(dOut, W[mirror].T, same idx)
+#   down conv (k2s2):          dX = parent_conv(dOut, W.T, up-map)
+#   up conv (parent map):      dX = conv(dOut, W.T, down-map)
+# The graph builder provides the mirror permutation / companion maps.
+
+
+def _wt(w, perm=None):
+    wt = jnp.swapaxes(w, 1, 2)
+    if perm is not None:
+        wt = wt[jnp.asarray(perm)]
+    return wt
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv_core_mirror(x, w, idx, center, mirror_perm):
+    return _conv_fwd_impl(x, w, idx, center)
+
+
+def _conv_mirror_fwd(x, w, idx, center, mirror_perm):
+    return _conv_fwd_impl(x, w, idx, center), (x, w, idx)
+
+
+def _conv_mirror_bwd(center, mirror_perm, res, g_out):
+    x, w, idx = res
+    g32 = g_out.astype(jnp.float32)
+    # dX: forward pass over the same map with mirrored-transposed weights.
+    dx = _conv_fwd_impl(g32, _wt(w.astype(jnp.float32), mirror_perm), idx, center)
+    # dW: regather activations (identical to the scatter-variant backward).
+    wc_dummy, w_rest, idx_rest = _split_center(w, idx, center)
+
+    def step(_, kw):
+        _wk, ik = kw
+        gx = _gather_rows(x, ik).astype(jnp.float32)
+        return None, jnp.dot(gx.T, g32, preferred_element_type=jnp.float32)
+
+    _, dw_rest = lax.scan(step, None, (w_rest, idx_rest))
+    if wc_dummy is not None:
+        dwc = jnp.dot(x.astype(jnp.float32).T, g32, preferred_element_type=jnp.float32)
+        dw = jnp.concatenate([dw_rest[:center], dwc[None], dw_rest[center:]], axis=0)
+    else:
+        dw = dw_rest
+    return dx.astype(x.dtype), dw.astype(w.dtype), None
+
+
+_conv_core_mirror.defvjp(_conv_mirror_fwd, _conv_mirror_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _conv_core_cparent(x, w, idx, parent, kslot):
+    """Down conv whose backward runs through the companion ParentMap."""
+    return _conv_fwd_impl(x, w, idx, -1)
+
+
+def _conv_cparent_fwd(x, w, idx, parent, kslot):
+    return _conv_fwd_impl(x, w, idx, -1), (x, w, idx, parent, kslot)
+
+
+def _conv_cparent_bwd(res, g_out):
+    x, w, idx, parent, kslot = res
+    g32 = g_out.astype(jnp.float32)
+    dx = _parent_fwd_impl(g32, _wt(w.astype(jnp.float32)), parent, kslot)
+
+    def step(_, kw):
+        _wk, ik = kw
+        gx = _gather_rows(x, ik).astype(jnp.float32)
+        return None, jnp.dot(gx.T, g32, preferred_element_type=jnp.float32)
+
+    _, dw = lax.scan(step, None, (w, idx))
+    return dx.astype(x.dtype), dw.astype(w.dtype), None, None, None
+
+
+_conv_core_cparent.defvjp(_conv_cparent_fwd, _conv_cparent_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _parent_core_cidx(x, w, parent, kslot, idx_down):
+    """Up (parent-map) conv whose backward runs through the down map."""
+    return _parent_fwd_impl(x, w, parent, kslot)
+
+
+def _parent_cidx_fwd(x, w, parent, kslot, idx_down):
+    return _parent_fwd_impl(x, w, parent, kslot), (x, w, parent, kslot, idx_down)
+
+
+def _parent_cidx_bwd(res, g_out):
+    x, w, parent, kslot, idx_down = res
+    k_num = w.shape[0]
+    g32 = g_out.astype(jnp.float32)
+    dx = _conv_fwd_impl(g32, _wt(w.astype(jnp.float32)), idx_down, -1)
+    g = jnp.take(x, parent, axis=0).astype(jnp.float32)
+    dws = []
+    for k in range(k_num):
+        mask = (kslot == k)[:, None]
+        dws.append(jnp.dot(jnp.where(mask, g, 0.0).T, g32, preferred_element_type=jnp.float32))
+    return dx.astype(x.dtype), jnp.stack(dws).astype(w.dtype), None, None, None
+
+
+_parent_core_cidx.defvjp(_parent_cidx_fwd, _parent_cidx_bwd)
 
 
 # ---- Z-run fused (grouped) sparse conv ------------------------------------
@@ -270,10 +383,16 @@ def _parent_bwd(res, g_out):
 _parent_core.defvjp(_parent_fwd, _parent_bwd)
 
 
-def sparse_conv_parent(x, w, pmap, bias=None):
-    """Apply a transpose conv through a ParentMap (one parent per out row)."""
+def sparse_conv_parent(x, w, pmap, bias=None, idx_down=None):
+    """Apply a transpose conv through a ParentMap (one parent per out row).
+
+    idx_down: optional companion down map for a gather-only backward.
+    """
     assert pmap.num_slots == w.shape[0]
-    out = _parent_core(x, w, pmap.parent, pmap.kslot)
+    if idx_down is not None:
+        out = _parent_core_cidx(x, w, pmap.parent, pmap.kslot, idx_down)
+    else:
+        out = _parent_core(x, w, pmap.parent, pmap.kslot)
     if bias is not None:
         out = out + bias
     return out

@@ -127,11 +127,26 @@ class _Lookup:
 @dataclass(frozen=True)
 class MapSpec:
     """Static description of one kernel map: which levels it connects and
-    the conv geometry that generates it."""
+    the conv geometry that generates it. ``companion`` names the map whose
+    geometry is this map's transpose (down <-> up pairs) — the conv backward
+    uses it to stay gather-based instead of scatter-based."""
 
     level_in: int
     level_out: int
     kind: ConvKind
+    companion: Optional[str] = None
+
+
+def _mirror_permutation(offs: np.ndarray) -> Optional[tuple]:
+    """Permutation p with offs[p[k]] == -offs[k], or None if asymmetric."""
+    table = {tuple(int(v) for v in o): i for i, o in enumerate(offs)}
+    perm = []
+    for o in offs:
+        j = table.get(tuple(int(-v) for v in o))
+        if j is None:
+            return None
+        perm.append(j)
+    return tuple(perm)
 
 
 @dataclass(frozen=True)
@@ -314,6 +329,10 @@ def _try_grouped_map(
     )
 
 
+def dataclasses_replace_pm(pm: ParentMap, companion) -> ParentMap:
+    return ParentMap(parent=pm.parent, kslot=pm.kslot, num_slots=pm.num_slots, companion=companion)
+
+
 def _try_parent_map(idx: np.ndarray) -> Optional[ParentMap]:
     """Fuse a map where every output row has <= 1 contributor (k2s2
     transpose convs: one coarse parent per fine voxel)."""
@@ -382,6 +401,7 @@ def build_graph(
         # Center-slot fast path: stride-1 odd kernels map the center offset to
         # the identity — the conv op turns that slot into a gather-free matmul.
         center = -1
+        mirror = None
         if (
             not ms.kind.transpose
             and ms.kind.stride == 1
@@ -395,13 +415,16 @@ def build_graph(
             zero_rows = np.flatnonzero((offs0 == 0).all(axis=1))
             if zero_rows.size == 1:
                 center = int(zero_rows[0])
-        maps[name] = KernelMap(idx=idx, center_slot=center)
+            mirror = _mirror_permutation(offs0)
+        maps[name] = KernelMap(
+            idx=idx, center_slot=center, mirror_perm=mirror, companion=ms.companion
+        )
 
         if fuse and ms.kind.kernel_size > 1:
             if ms.kind.transpose:
                 pm = _try_parent_map(idx)
                 if pm is not None:
-                    gmaps[name] = pm
+                    gmaps[name] = dataclasses_replace_pm(pm, ms.companion)
                     continue
             if not fuse_grouped:
                 continue

@@ -134,11 +134,14 @@ def build_graph_native(
             zero_rows = np.flatnonzero((offs == 0).all(axis=1))
             if zero_rows.size == 1:
                 center = int(zero_rows[0])
-        maps[name] = KernelMap(idx=idx, center_slot=center)
+        mirror = None
+        if center >= 0 or (not ms.kind.transpose and ms.kind.stride == 1 and ms.level_in == ms.level_out):
+            mirror = gh._mirror_permutation(offs)
+        maps[name] = KernelMap(idx=idx, center_slot=center, mirror_perm=mirror, companion=ms.companion)
         if fuse and ms.kind.kernel_size > 1 and ms.kind.transpose:
             pm = gh._try_parent_map(idx)
             if pm is not None:
-                gmaps[name] = pm
+                gmaps[name] = gh.dataclasses_replace_pm(pm, ms.companion)
                 continue
         if fuse and fuse_grouped and ms.kind.kernel_size > 1:
             gm = gh._try_grouped_map(

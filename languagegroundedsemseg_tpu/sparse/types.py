@@ -9,7 +9,7 @@ models/modules/common.py:192) with shapes XLA can compile once per bucket.
 
 from __future__ import annotations
 
-from typing import Any, Mapping, Tuple
+from typing import Any, Mapping, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import struct
@@ -59,6 +59,14 @@ class KernelMap:
     # Static slot whose map is the identity (the center offset of a stride-1
     # odd kernel); the conv op skips that gather entirely. -1 if none.
     center_slot: int = struct.field(pytree_node=False, default=-1)
+    # Static permutation p with offsets[p[k]] == -offsets[k] (symmetric
+    # regions only). Enables a gather-based backward: dX is the forward op
+    # with W transposed and slots mirrored — no scatter-add (TPU scatters
+    # measure ~4x slower than gathers). None if the region is asymmetric.
+    mirror_perm: Optional[Tuple[int, ...]] = struct.field(pytree_node=False, default=None)
+    # Name of the companion (transpose) map in the graph, for down/up conv
+    # pairs whose backward uses the partner's map. None -> scatter fallback.
+    companion: Optional[str] = struct.field(pytree_node=False, default=None)
 
     @property
     def num_offsets(self) -> int:
@@ -111,6 +119,7 @@ class ParentMap:
     parent: jnp.ndarray
     kslot: jnp.ndarray
     num_slots: int = struct.field(pytree_node=False)
+    companion: Optional[str] = struct.field(pytree_node=False, default=None)
 
 
 @struct.dataclass

@@ -97,6 +97,7 @@ class Trainer:
                 axis_name=axis_name,
                 max_batch=max(config.batch_size, config.val_batch_size) + 1,
                 dtype=dtype,
+                remat=config.remat,
             )
             return model_cls(**{k: v for k, v in kw.items() if k in field_names})
 

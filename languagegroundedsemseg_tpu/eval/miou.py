@@ -14,9 +14,10 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 try:
+    import jax
     import jax.numpy as jnp
 except Exception:  # pragma: no cover
-    jnp = None
+    jax = jnp = None
 
 
 def fast_hist(pred: np.ndarray, label: np.ndarray, n: int) -> np.ndarray:
@@ -100,6 +101,43 @@ class IoUEvaluator:
                 f"head {m['head_miou']*100:.2f}  common {m['common_miou']*100:.2f}  tail {m['tail_miou']*100:.2f}"
             )
         return "\n".join(lines)
+
+
+def ap_histograms_jax(probs, labels, num_classes: int, num_bins: int = 100, row_mask=None):
+    """Device-side per-class score histograms for streaming AP.
+
+    Returns (tp_hist, fp_hist) of shape (C, num_bins): counts of positive /
+    negative examples per probability bin. Accumulate over batches, then
+    finalize with ``ap_from_histograms``.
+    """
+    valid = (labels >= 0) & (labels < num_classes)
+    if row_mask is not None:
+        valid = valid & (row_mask > 0)
+    bins = jnp.clip((probs * num_bins).astype(jnp.int32), 0, num_bins - 1)  # (N, C)
+    onehot = jax.nn.one_hot(jnp.clip(labels, 0, num_classes - 1), num_classes)
+    v = valid.astype(jnp.float32)[:, None]
+    pos_w = (onehot * v).T  # (C, N)
+    neg_w = ((1.0 - onehot) * v).T
+
+    def per_class(b, wp, wn):
+        tp = jnp.bincount(b, weights=wp, length=num_bins)
+        fp = jnp.bincount(b, weights=wn, length=num_bins)
+        return tp, fp
+
+    tp, fp = jax.vmap(per_class)(bins.T, pos_w, neg_w)
+    return tp, fp
+
+
+def ap_from_histograms(tp_hist: np.ndarray, fp_hist: np.ndarray) -> np.ndarray:
+    """(C, B) histograms -> (C,) average precision (threshold-binned)."""
+    tp = np.asarray(tp_hist)[:, ::-1].cumsum(axis=1)
+    fp = np.asarray(fp_hist)[:, ::-1].cumsum(axis=1)
+    n_pos = tp[:, -1]
+    recall = tp / np.maximum(n_pos[:, None], 1)
+    precision = tp / np.maximum(tp + fp, 1)
+    r_prev = np.concatenate([np.zeros((len(tp), 1)), recall[:, :-1]], axis=1)
+    ap = ((recall - r_prev) * precision).sum(axis=1)
+    return np.where(n_pos > 0, ap, np.nan)
 
 
 def average_precision_binned(

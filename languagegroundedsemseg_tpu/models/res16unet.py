@@ -183,6 +183,42 @@ class Res16UNetBase(nn.Module):
 
 # ---- Variant zoo (reference models/res16unet.py:273-355) -------------------
 
+def st_res16unet_graph_spec(conv1_kernel_size: int = 3) -> GraphSpec:
+    """4D spatio-temporal variant: spatial-cube x temporal-cross block
+    kernels, spatial-only striding (reference ConvType
+    SPATIAL_HYPERCUBE_TEMPORAL_HYPERCROSS, models/modules/common.py:110-174,
+    and STRes16UNet*, models/res16unet.py:356-396)."""
+    from languagegroundedsemseg_tpu.sparse.offsets import KernelRegion
+
+    st_block = ConvKind(kernel_size=3, region=KernelRegion.SPATIAL_CUBE_TEMPORAL_CROSS)
+    maps = {}
+    for l in range(NUM_LEVELS):
+        maps[f"l{l}.k3"] = MapSpec(l, l, st_block)
+    if conv1_kernel_size != 3:
+        maps[f"l0.k{conv1_kernel_size}"] = MapSpec(
+            0, 0, ConvKind(kernel_size=(conv1_kernel_size,) * 3 + (1,))
+        )
+    for l in range(NUM_LEVELS - 1):
+        maps[f"down{l}"] = MapSpec(
+            l, l + 1, ConvKind(kernel_size=(2, 2, 2, 1), stride=2), companion=f"up{l + 1}"
+        )
+    for l in range(1, NUM_LEVELS):
+        maps[f"up{l}"] = MapSpec(
+            l, l - 1, ConvKind(kernel_size=(2, 2, 2, 1), stride=2, transpose=True),
+            companion=f"down{l - 1}",
+        )
+    return GraphSpec(num_levels=NUM_LEVELS, maps=maps, d=4)
+
+
+class STRes16UNetBase(Res16UNetBase):
+    """Spatio-temporal Res16UNet (D=4). The flax module body is identical —
+    geometry lives entirely in the 4D ConvGraph."""
+
+    @classmethod
+    def graph_spec(cls, conv1_kernel_size: int = 3, d: int = 4) -> GraphSpec:
+        return st_res16unet_graph_spec(conv1_kernel_size)
+
+
 class Res16UNet14(Res16UNetBase):
     LAYERS: Tuple[int, ...] = (1, 1, 1, 1, 1, 1, 1, 1)
 
@@ -263,3 +299,61 @@ class Res16UNet34C200(Res16UNet34):
 
 class Res16UNet34C100(Res16UNet34):
     PLANES: Tuple[int, ...] = (32, 64, 128, 256, 256, 128, 128, 100)
+
+
+# ---- Spatio-temporal variants (reference models/res16unet.py:356-396) ------
+
+class STRes16UNet14(STRes16UNetBase, Res16UNet14):
+    pass
+
+
+class STRes16UNet14A(STRes16UNetBase):
+    LAYERS: Tuple[int, ...] = (1, 1, 1, 1, 1, 1, 1, 1)
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 128, 128, 96, 96)
+
+
+class STRes16UNet18(STRes16UNetBase, Res16UNet18):
+    pass
+
+
+class STRes16UNet34(STRes16UNetBase, Res16UNet34):
+    pass
+
+
+class STRes16UNet50(STRes16UNetBase, Res16UNet50):
+    pass
+
+
+class STRes16UNet101(STRes16UNetBase, Res16UNet101):
+    pass
+
+
+class STRes16UNet18A(STRes16UNetBase):
+    LAYERS: Tuple[int, ...] = (2, 2, 2, 2, 2, 2, 2, 2)
+    PLANES: Tuple[int, ...] = (32, 64, 128, 256, 128, 128, 96, 96)
+
+
+class STResTesseract16UNetBase(STRes16UNetBase):
+    """Full 4D hypercube kernels (ConvType.HYPERCUBE over D=4)."""
+
+    @classmethod
+    def graph_spec(cls, conv1_kernel_size: int = 3, d: int = 4) -> GraphSpec:
+        maps = {}
+        for l in range(NUM_LEVELS):
+            maps[f"l{l}.k3"] = MapSpec(l, l, ConvKind(kernel_size=3))
+        if conv1_kernel_size != 3:
+            maps[f"l0.k{conv1_kernel_size}"] = MapSpec(0, 0, ConvKind(kernel_size=conv1_kernel_size))
+        for l in range(NUM_LEVELS - 1):
+            maps[f"down{l}"] = MapSpec(
+                l, l + 1, ConvKind(kernel_size=(2, 2, 2, 1), stride=2), companion=f"up{l + 1}"
+            )
+        for l in range(1, NUM_LEVELS):
+            maps[f"up{l}"] = MapSpec(
+                l, l - 1, ConvKind(kernel_size=(2, 2, 2, 1), stride=2, transpose=True),
+                companion=f"down{l - 1}",
+            )
+        return GraphSpec(num_levels=NUM_LEVELS, maps=maps, d=4)
+
+
+class STResTesseract16UNet18A(STResTesseract16UNetBase, STRes16UNet18A):
+    pass

@@ -34,10 +34,30 @@ _FIELD_BITS = 16
 _FIELD_MASK = (1 << _FIELD_BITS) - 1
 
 
+# 4D (spatio-temporal) layout: b(12) | x(13) | y(13) | z(13) | t(12) = 63 bits
+_BITS_4D = (12, 13, 13, 13, 12)
+_OFF_4D = (0, 1 << 12, 1 << 12, 1 << 12, 1 << 11)
+
+
 def pack_keys(coords: np.ndarray) -> np.ndarray:
-    """Pack (N, 4) int (b, x, y, z) rows into unique int64 keys."""
+    """Pack (N, 1+d) int (b, x, y, z[, t]) rows into unique int64 keys.
+
+    d=3 uses the 16-bit-per-field layout (matches the C++ builder); d=4 packs
+    (12,13,13,13,12) bits with signed offsets.
+    """
     c = np.asarray(coords, dtype=np.int64)
-    assert c.ndim == 2 and c.shape[1] == 4, f"expected (N, 4), got {c.shape}"
+    assert c.ndim == 2 and c.shape[1] in (4, 5), f"expected (N, 4|5), got {c.shape}"
+    if c.shape[1] == 5:
+        key = np.zeros(len(c), dtype=np.int64)
+        shift = 0
+        for col in range(4, -1, -1):
+            bits, off = _BITS_4D[col], _OFF_4D[col]
+            v = c[:, col] + off
+            if v.size and (int(v.min()) < 0 or int(v.max()) >= (1 << bits)):
+                raise ValueError(f"4D coord column {col} out of packable range")
+            key |= v << shift
+            shift += bits
+        return key
     b = c[:, 0]
     xyz = c[:, 1:] + _COORD_OFF
     if xyz.size:
@@ -55,8 +75,16 @@ def pack_keys(coords: np.ndarray) -> np.ndarray:
     )
 
 
-def unpack_keys(keys: np.ndarray) -> np.ndarray:
+def unpack_keys(keys: np.ndarray, d: int = 3) -> np.ndarray:
     k = np.asarray(keys, dtype=np.int64)
+    if d == 4:
+        cols = []
+        shift = 0
+        for col in range(4, -1, -1):
+            bits, off = _BITS_4D[col], _OFF_4D[col]
+            cols.append(((k >> shift) & ((1 << bits) - 1)) - off)
+            shift += bits
+        return np.stack(cols[::-1], axis=1).astype(np.int32)
     b = k >> (3 * _FIELD_BITS)
     x = ((k >> (2 * _FIELD_BITS)) & _FIELD_MASK) - _COORD_OFF
     y = ((k >> _FIELD_BITS) & _FIELD_MASK) - _COORD_OFF
@@ -197,7 +225,7 @@ def default_capacities(n0_capacity: int, num_levels: int, ratios: Sequence[float
 
 
 def build_pyramid(
-    coords0: np.ndarray, num_levels: int
+    coords0: np.ndarray, num_levels: int, d: int = 3
 ) -> Tuple[list, list]:
     """Coordinate pyramid: level l coords are the unique values of
     ``floor(level_{l-1} / (2 * stride)) * (2 * stride)`` — ME's stride map
@@ -214,10 +242,11 @@ def build_pyramid(
     for l in range(1, num_levels):
         s = 1 << l  # stride of the new level
         down = cur.copy()
-        down[:, 1:] = np.floor_divide(down[:, 1:], s) * s
+        # only spatial axes downsample; the temporal axis (d=4) keeps stride 1
+        down[:, 1:4] = np.floor_divide(down[:, 1:4], s) * s
         uk = np.unique(pack_keys(down))  # sorted-key order: required for the
         # z-run contiguity that grouped kernel maps exploit
-        nxt = unpack_keys(uk)
+        nxt = unpack_keys(uk, d)
         levels.append(nxt)
         keys.append(uk)
         cur = nxt
@@ -363,7 +392,7 @@ def build_graph(
         pytree leaves are numpy anyway and become device arrays on first use.
     """
     assert len(capacities) == spec.num_levels
-    coords_levels, keys_levels = build_pyramid(coords0, spec.num_levels)
+    coords_levels, keys_levels = build_pyramid(coords0, spec.num_levels, spec.d)
 
     # Truncate overflow and build lookups over the *kept* rows only.
     nums, lookups, kept_coords = [], [], []
@@ -386,9 +415,14 @@ def build_graph(
     )
 
     maps, gmaps = {}, {}
+
+    def _ts(stride_int):
+        # per-axis tensor stride: the temporal axis (d=4) always has stride 1
+        return stride_int if spec.d == 3 else (stride_int,) * 3 + (1,)
+
     for name, ms in spec.maps.items():
-        stride_in = 1 << ms.level_in
-        stride_out = 1 << ms.level_out
+        stride_in = _ts(1 << ms.level_in)
+        stride_out = _ts(1 << ms.level_out)
         idx = _kernel_map(
             out_coords=kept_coords[ms.level_out],
             in_lookup=lookups[ms.level_in],
@@ -402,12 +436,13 @@ def build_graph(
         # the identity — the conv op turns that slot into a gather-free matmul.
         center = -1
         mirror = None
+        ks_scalar = ms.kind.kernel_size if isinstance(ms.kind.kernel_size, int) else max(ms.kind.kernel_size)
         if (
             not ms.kind.transpose
             and ms.kind.stride == 1
             and ms.level_in == ms.level_out
-            and ms.kind.kernel_size % 2 == 1
-            and ms.kind.kernel_size > 1
+            and ks_scalar % 2 == 1
+            and ks_scalar > 1
         ):
             offs0 = region_offsets(
                 ms.kind.region, ms.kind.kernel_size, ms.kind.dilation, stride_in, spec.d
@@ -420,7 +455,7 @@ def build_graph(
             idx=idx, center_slot=center, mirror_perm=mirror, companion=ms.companion
         )
 
-        if fuse and ms.kind.kernel_size > 1:
+        if fuse and ks_scalar > 1:
             if ms.kind.transpose:
                 pm = _try_parent_map(idx)
                 if pm is not None:
@@ -436,10 +471,11 @@ def build_graph(
                 offs = region_offsets(
                     ms.kind.region, ms.kind.kernel_size, ms.kind.dilation, stride_in, spec.d
                 )
-            gm = _try_grouped_map(
-                idx, offs, z_step=stride_in, identity_ok=ms.level_in == ms.level_out
-            )
-            if gm is not None:
-                gmaps[name] = gm
+            if isinstance(stride_in, int):
+                gm = _try_grouped_map(
+                    idx, offs, z_step=stride_in, identity_ok=ms.level_in == ms.level_out
+                )
+                if gm is not None:
+                    gmaps[name] = gm
 
     return ConvGraph(levels=levels, maps=maps, gmaps=gmaps)

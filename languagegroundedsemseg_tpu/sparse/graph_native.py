@@ -83,7 +83,7 @@ def build_graph_native(
 ) -> ConvGraph:
     """Native-path equivalent of graph_host.build_graph (same outputs)."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or spec.d != 3:  # native builder is 3D; 4D uses numpy
         return gh.build_graph(coords0, spec, capacities, fuse=fuse, fuse_grouped=fuse_grouped)
 
     coords0 = np.ascontiguousarray(coords0, dtype=np.int32)

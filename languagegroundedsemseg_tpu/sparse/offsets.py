@@ -148,7 +148,7 @@ class ConvKind:
     the transpose of the corresponding strided conv's map.
     """
 
-    kernel_size: int
+    kernel_size: "int | tuple" = 3
     stride: int = 1
     dilation: int = 1
     region: KernelRegion = KernelRegion.HYPER_CUBE

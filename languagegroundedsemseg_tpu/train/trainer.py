@@ -236,12 +236,15 @@ class Trainer:
             logits = out_a
             pred = jnp.argmax(out_a, axis=-1)
         hist = fast_hist_jax(pred, batch.labels, self.num_labels, row_mask)
+        from languagegroundedsemseg_tpu.eval.miou import ap_histograms_jax
         from languagegroundedsemseg_tpu.losses.classification import cross_entropy_loss
 
         loss = cross_entropy_loss(
             logits, batch.labels, ignore_index=self.config.ignore_label, row_mask=row_mask
         )
-        return hist, loss, pred
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        tp_hist, fp_hist = ap_histograms_jax(probs, batch.labels, self.num_labels, row_mask=row_mask)
+        return hist, loss, pred, tp_hist, fp_hist
 
     # ------------------------------------------------------------------
 
@@ -252,24 +255,37 @@ class Trainer:
         self._log_f.flush()
 
     def validate(self, max_batches: Optional[int] = None) -> Dict[str, float]:
+        from languagegroundedsemseg_tpu.eval.miou import ap_from_histograms
+
         split = getattr(self.dataset, "frequency_organized_cats", None)
         ev = IoUEvaluator(self.num_labels, split, getattr(self.dataset, "CLASS_LABELS", None))
         losses, count = 0.0, 0
+        tp_acc = np.zeros((self.num_labels, 100))
+        fp_acc = np.zeros((self.num_labels, 100))
         for i, batch in enumerate(self.val_loader):
             if max_batches is not None and i >= max_batches:
                 break
-            hist, loss, _ = self.p_eval_metrics(self.state, batch)
+            hist, loss, _, tp, fp = self.p_eval_metrics(self.state, batch)
             ev.update_hist(np.asarray(hist))
+            tp_acc += np.asarray(tp)
+            fp_acc += np.asarray(fp)
             losses += float(loss)
             count += 1
         m = ev.compute()
+        aps = ap_from_histograms(tp_acc, fp_acc)
         out = {
             "val_miou": m["miou"], "val_macc": m["macc"],
             "val_loss": losses / max(count, 1),
+            "val_map": float(np.nanmean(aps)) if not np.isnan(aps).all() else float("nan"),
         }
         for k in ("head_miou", "common_miou", "tail_miou"):
             if k in m:
                 out["val_" + k] = m[k]
+        if split is not None:
+            for i, name in enumerate(["head", "common", "tail"]):
+                sel = np.asarray(split)[:, i]
+                if sel.any() and not np.isnan(aps[sel]).all():
+                    out[f"val_{name}_map"] = float(np.nanmean(aps[sel]))
         return out
 
     def fit(self, max_epochs: Optional[int] = None, val_every: int = 1,

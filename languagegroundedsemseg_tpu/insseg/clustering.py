@@ -37,6 +37,38 @@ class Clustering:
         self.score_func = score_func
         self.max_neighbors = max_neighbors
 
+    def get_instances_dual_set(
+        self,
+        vertices_shifted: np.ndarray,
+        vertices_original: np.ndarray,
+        scores: np.ndarray,
+        nms_iou: float = 0.3,
+    ) -> Dict[int, dict]:
+        """Dual-set clustering + class-conditional NMS: cluster both the
+        vote-shifted and the original coordinates, merge proposals, suppress
+        same-class duplicates by mask IoU (reference
+        downstream/insseg/lib/pl_Trainer.py:370-387 and lib/test.py)."""
+        a = self.get_instances(vertices_shifted, scores)
+        b = self.get_instances(vertices_original, scores)
+        proposals = list(a.values()) + list(b.values())
+        proposals.sort(key=lambda p: -p["conf"])
+        kept: list = []
+        for p in proposals:
+            pm = p["pred_mask"]
+            ps = pm.sum()
+            dup = False
+            for q in kept:
+                if q["label_id"] != p["label_id"]:
+                    continue
+                inter = np.logical_and(pm, q["pred_mask"]).sum()
+                union = ps + q["pred_mask"].sum() - inter
+                if union > 0 and inter / union > nms_iou:
+                    dup = True
+                    break
+            if not dup:
+                kept.append(p)
+        return {i: p for i, p in enumerate(kept)}
+
     def get_instances(self, vertices: np.ndarray, scores: np.ndarray) -> Dict[int, dict]:
         """vertices (N, 3) vote-shifted positions; scores (N, C) softmax.
 

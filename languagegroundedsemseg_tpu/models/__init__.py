@@ -37,6 +37,21 @@ _register_module_nets(_resnet)
 _register_module_nets(_resunet)
 
 
+def load_wrapper(name: str) -> type:
+    """Wrapper registry (reference models/__init__.py:50): CRF post-filters
+    around a base model."""
+    from languagegroundedsemseg_tpu.models.crf import BilateralCRF, TrilateralCRF, Wrapper
+
+    wrappers = {
+        "Wrapper": Wrapper,
+        "BilateralCRF": BilateralCRF,
+        "TrilateralCRF": TrilateralCRF,
+    }
+    if name not in wrappers:
+        raise KeyError(f"unknown wrapper {name!r}; available: {sorted(wrappers)}")
+    return wrappers[name]
+
+
 def load_model(name: str) -> type:
     if name not in _REGISTRY:
         raise KeyError(

@@ -94,3 +94,13 @@ class Wrapper(nn.Module):
             lvl0.mask(),
         )
         return (refined if apply_crf else logits), features
+
+
+class BilateralCRF(Wrapper):
+    """Spatial + chromatic (6D) filtering (reference
+    models/conditional_random_fields.py:143)."""
+
+
+class TrilateralCRF(Wrapper):
+    """Spatial + chromatic + temporal filtering (reference :157). With d=4
+    graphs the temporal coordinate participates in the kNN feature space."""

@@ -1,0 +1,82 @@
+"""CRF wrapper, sparse MM, wrapper registry."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from languagegroundedsemseg_tpu.models import load_model, load_wrapper
+from languagegroundedsemseg_tpu.models.crf import MeanFieldCRF
+from languagegroundedsemseg_tpu.ops.sparse_mm import sparse_mm_bcoo, sparse_mm_padded
+from languagegroundedsemseg_tpu.sparse import build_graph
+from languagegroundedsemseg_tpu.sparse.graph_host import default_capacities, pack_keys
+from oracles import make_cloud
+
+
+def test_sparse_mm_padded_matches_dense():
+    rng = np.random.default_rng(0)
+    m, k, f, nnz = 12, 9, 5, 30
+    rows = rng.integers(0, m, nnz).astype(np.int32)
+    cols = rng.integers(0, k, nnz).astype(np.int32)
+    vals = rng.normal(size=nnz).astype(np.float32)
+    rows[-5:] = -1  # padding
+    dense = rng.normal(size=(k, f)).astype(np.float32)
+    out = np.asarray(
+        sparse_mm_padded(jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals), m, jnp.asarray(dense))
+    )
+    want = np.zeros((m, f))
+    for r, c, v in zip(rows, cols, vals):
+        if r >= 0:
+            want[r] += v * dense[c]
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+    out2 = np.asarray(
+        sparse_mm_bcoo(
+            jnp.asarray(vals[rows >= 0]),
+            jnp.asarray(np.stack([rows[rows >= 0], cols[rows >= 0]], 1)),
+            (m, k),
+            jnp.asarray(dense),
+        )
+    )
+    np.testing.assert_allclose(out2, want, rtol=1e-5, atol=1e-5)
+
+
+def test_crf_sharpens_consistent_regions():
+    """Mean-field filtering should clean isolated label noise inside a
+    spatially+chromatically uniform cluster."""
+    rng = np.random.default_rng(1)
+    n, c = 200, 4
+    coords = rng.integers(0, 6, (n, 3)).astype(np.float32)  # one tight blob
+    colors = np.full((n, 3), 100.0, np.float32)
+    unaries = np.zeros((n, c), np.float32)
+    unaries[:, 1] = 2.0       # majority class 1
+    unaries[:10, 1] = 0.0
+    unaries[:10, 2] = 2.0     # 10 noisy points prefer class 2
+    mask = np.ones(n, np.float32)
+
+    crf = MeanFieldCRF(num_classes=c, iterations=5, num_neighbors=8)
+    variables = crf.init(
+        jax.random.PRNGKey(0), jnp.asarray(unaries), jnp.asarray(coords),
+        jnp.asarray(colors), jnp.asarray(mask),
+    )
+    refined = np.asarray(
+        crf.apply(variables, jnp.asarray(unaries), jnp.asarray(coords),
+                  jnp.asarray(colors), jnp.asarray(mask))
+    )
+    assert (refined.argmax(1) == 1).mean() > (unaries.argmax(1) == 1).mean()
+
+
+def test_wrapper_registry_and_forward():
+    rng = np.random.default_rng(2)
+    coords = make_cloud(rng, n=150)
+    coords = coords[np.argsort(pack_keys(coords), kind="stable")]
+    base_cls = load_model("Res16UNet14A")
+    g = build_graph(coords, base_cls.graph_spec(3), default_capacities(256, 5, ratios=[1] * 5))
+    feats = np.zeros((256, 3), np.float32)
+    feats[: len(coords)] = rng.normal(size=(len(coords), 3))
+
+    wrapper_cls = load_wrapper("BilateralCRF")
+    model = wrapper_cls(base=base_cls(out_channels=6), num_classes=6, iterations=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(feats), g, train=False)
+    logits, features = model.apply(variables, jnp.asarray(feats), g, train=False)
+    assert logits.shape == (256, 6)
+    assert np.isfinite(np.asarray(logits)[: len(coords)]).all()

@@ -414,7 +414,6 @@ def sparse_avg_pool(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
     Equivalent of ME.MinkowskiAvgPooling (reference models/modules/common.py:239).
     """
-    valid = (idx >= 0).astype(jnp.float32)
 
     def step(acc, ik):
         s, c = acc
@@ -424,7 +423,6 @@ def sparse_avg_pool(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     s0 = jnp.zeros((idx.shape[1], x.shape[1]), dtype=jnp.float32)
     c0 = jnp.zeros((idx.shape[1], 1), dtype=jnp.float32)
     (s, c), _ = lax.scan(step, (s0, c0), idx)
-    del valid
     return (s / jnp.maximum(c, 1.0)).astype(x.dtype)
 
 

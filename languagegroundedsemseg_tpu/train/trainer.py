@@ -330,9 +330,9 @@ class Trainer:
         cfg = self.config
         if cfg.scheduler != "ReduceLROnPlateau":
             return
-        monitor = val_metrics.get(cfg.scheadule_monitor.replace("val_", "val_"), None)
+        monitor = val_metrics.get(cfg.scheadule_monitor, val_metrics.get("val_miou"))
         if monitor is None:
-            monitor = val_metrics.get("val_miou")
+            return
         if self.plateau_best is None or monitor > self.plateau_best:
             self.plateau_best = monitor
             self.plateau_wait = 0

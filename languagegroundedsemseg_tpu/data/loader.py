@@ -71,6 +71,10 @@ class DataLoader:
         self.num_workers = max(num_workers, 1)
         self.num_devices = num_devices
         self.epoch = 0
+        # Ship batches to the device from the producer thread so host->device
+        # transfer overlaps the previous step's compute (jax.device_put is
+        # async). Significant when H2D is slow (remote/tunneled accelerators).
+        self.device_put = True
 
     def __len__(self):
         per_step = self.batch_size * self.num_devices
@@ -128,11 +132,16 @@ class DataLoader:
                         )
                         counter += 1
                     if n_dev == 1:
-                        out_q.put(device_batches[0])
+                        b = device_batches[0]
                     else:
                         from languagegroundedsemseg_tpu.parallel.dp import stack_batches
 
-                        out_q.put(stack_batches(device_batches))
+                        b = stack_batches(device_batches)
+                    if self.device_put and n_dev == 1:
+                        import jax
+
+                        b = jax.device_put(b)
+                    out_q.put(b)
             except StopIteration:
                 pass
             finally:

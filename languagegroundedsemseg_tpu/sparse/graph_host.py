@@ -382,6 +382,7 @@ def build_graph(
     as_numpy: bool = False,
     fuse: bool = True,
     fuse_grouped: bool = False,
+    drop_redundant: bool = True,
 ) -> ConvGraph:
     """Build the full ConvGraph for one batch.
 
@@ -460,6 +461,13 @@ def build_graph(
                 pm = _try_parent_map(idx)
                 if pm is not None:
                     gmaps[name] = dataclasses_replace_pm(pm, ms.companion)
+                    if drop_redundant:
+                        # the flat table is never consumed on device when a
+                        # ParentMap exists; don't ship ~8 x cap x 4B per map
+                        maps[name] = KernelMap(
+                            idx=np.full((idx.shape[0], 1), -1, np.int32),
+                            companion=ms.companion,
+                        )
                     continue
             if not fuse_grouped:
                 continue

@@ -80,11 +80,15 @@ def build_graph_native(
     capacities: Sequence[int],
     fuse: bool = True,
     fuse_grouped: bool = False,
+    drop_redundant: bool = True,
 ) -> ConvGraph:
     """Native-path equivalent of graph_host.build_graph (same outputs)."""
     lib = get_lib()
     if lib is None or spec.d != 3:  # native builder is 3D; 4D uses numpy
-        return gh.build_graph(coords0, spec, capacities, fuse=fuse, fuse_grouped=fuse_grouped)
+        return gh.build_graph(
+            coords0, spec, capacities, fuse=fuse, fuse_grouped=fuse_grouped,
+            drop_redundant=drop_redundant,
+        )
 
     coords0 = np.ascontiguousarray(coords0, dtype=np.int32)
     L = spec.num_levels
@@ -142,6 +146,11 @@ def build_graph_native(
             pm = gh._try_parent_map(idx)
             if pm is not None:
                 gmaps[name] = gh.dataclasses_replace_pm(pm, ms.companion)
+                if drop_redundant:
+                    maps[name] = KernelMap(
+                        idx=np.full((idx.shape[0], 1), -1, np.int32),
+                        companion=ms.companion,
+                    )
                 continue
         if fuse and fuse_grouped and ms.kind.kernel_size > 1:
             gm = gh._try_grouped_map(

@@ -33,7 +33,7 @@ def _graph(coords):
             "up1": MapSpec(1, 0, ConvKind(2, stride=2, transpose=True)),
         },
     )
-    return build_graph(coords, spec, default_capacities(512, 2, ratios=[1, 1]), fuse_grouped=True)
+    return build_graph(coords, spec, default_capacities(512, 2, ratios=[1, 1]), fuse_grouped=True, drop_redundant=False)
 
 
 def test_fused_maps_are_built_for_sorted_input():

@@ -22,7 +22,7 @@ def _setup(seed=0):
     coords = make_cloud(rng, n=300)
     coords = coords[np.argsort(pack_keys(coords), kind="stable")]
     spec = res16unet_graph_spec()
-    g = build_graph(coords, spec, default_capacities(384, 5, ratios=[1] * 5))
+    g = build_graph(coords, spec, default_capacities(384, 5, ratios=[1] * 5), drop_redundant=False)
     return rng, g
 
 

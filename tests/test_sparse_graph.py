@@ -95,7 +95,7 @@ def test_kernel_maps_match_brute_force():
         },
     )
     caps = default_capacities(512, 3, ratios=[1, 1, 1])
-    g = build_graph(coords, spec, caps)
+    g = build_graph(coords, spec, caps, drop_redundant=False)
 
     lv = [np.asarray(g.levels[l].coords)[: int(g.levels[l].num)] for l in range(3)]
 
@@ -137,7 +137,7 @@ def test_transpose_map_is_transpose_of_down_map():
             "up1": MapSpec(1, 0, ConvKind(2, stride=2, transpose=True)),
         },
     )
-    g = build_graph(coords, spec, default_capacities(512, 2, ratios=[1, 1]))
+    g = build_graph(coords, spec, default_capacities(512, 2, ratios=[1, 1]), drop_redundant=False)
     down = np.asarray(g.maps["down0"].idx)
     up = np.asarray(g.maps["up1"].idx)
     n1 = int(g.levels[1].num)

@@ -29,7 +29,7 @@ def _setup(n=250, cin=5, cout=7, seed=0):
             "up1": MapSpec(1, 0, ConvKind(2, stride=2, transpose=True)),
         },
     )
-    g = build_graph(coords, spec, default_capacities(320, 2, ratios=[1, 1]))
+    g = build_graph(coords, spec, default_capacities(320, 2, ratios=[1, 1]), drop_redundant=False)
     n0, n1 = int(g.levels[0].num), int(g.levels[1].num)
     feats0 = rng.normal(size=(g.levels[0].capacity, cin)).astype(np.float32)
     feats1 = rng.normal(size=(g.levels[1].capacity, cin)).astype(np.float32)

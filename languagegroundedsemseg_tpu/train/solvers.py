@@ -106,21 +106,28 @@ def initialize_optimizer(
     """Factory from a framework Config (lib/solvers.py:45-72 equivalent).
 
     The schedule (if given) replaces config.lr; TrainState.lr_scale further
-    multiplies for plateau scheduling.
+    multiplies for plateau scheduling. ``config.iter_size > 1`` enables
+    gradient accumulation (the reference's --iter_size flag,
+    config/config.py:88) via optax.MultiSteps — parameters update every
+    iter_size micro-batches.
     """
     lr = schedule if schedule is not None else config.lr
     if config.optimizer == "SGD":
-        return sgd_torch(
+        tx = sgd_torch(
             lr,
             momentum=config.sgd_momentum,
             dampening=config.sgd_dampening,
             weight_decay=config.weight_decay,
         )
-    if config.optimizer == "Adam":
-        return adam_torch(
+    elif config.optimizer == "Adam":
+        tx = adam_torch(
             lr,
             b1=config.adam_beta1,
             b2=config.adam_beta2,
             weight_decay=config.weight_decay,
         )
-    raise ValueError(f"optimizer {config.optimizer!r} not supported")
+    else:
+        raise ValueError(f"optimizer {config.optimizer!r} not supported")
+    if getattr(config, "iter_size", 1) and config.iter_size > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(config.iter_size))
+    return tx

@@ -17,6 +17,16 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     second axis.
     """
     devices = jax.devices()
+    if n_devices is not None and len(devices) < n_devices:
+        # Fall back to the (possibly virtual, via
+        # --xla_force_host_platform_device_count) CPU platform so multi-chip
+        # code paths stay exercisable on a single-chip or no-chip host.
+        try:
+            cpu_devices = jax.devices("cpu")
+        except RuntimeError:
+            cpu_devices = []
+        if len(cpu_devices) >= n_devices:
+            devices = cpu_devices
     if n_devices is not None:
         assert len(devices) >= n_devices, (
             f"need {n_devices} devices, have {len(devices)}"

@@ -53,10 +53,13 @@ class BatchBuilder:
         scenes: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
         extras: Optional[List[dict]] = None,
         return_layout: bool = False,
+        stats_out: Optional[dict] = None,
     ) -> TrainBatch:
         """scenes: list of (voxel_coords int32 (N,3), feats (N,F), labels (N,)).
         extras: optional per-scene dicts of (N, ...) arrays carried through
         dedup/sort/padding (instance centers, ids, ...); padded with zeros.
+        stats_out: if given, filled with data-loss/fill stats for this batch
+        (scenes_dropped, voxels_dropped, levels: l -> (num, cap, overflowed)).
 
         Coordinates must already be quantized voxel integers (the voxelizer's
         output); duplicates within a scene are deduped here.
@@ -64,8 +67,10 @@ class BatchBuilder:
         coords_l, feats_l, labels_l = [], [], []
         extras_l: dict = {}
         total = 0
+        scenes_dropped = 0
         for b, (vc, vf, vl) in enumerate(scenes):
             if total + len(vc) > self.limit_numpoints and b > 0:
+                scenes_dropped = len(scenes) - b
                 break  # drop the remainder of the batch, reference-style
             bc = np.concatenate(
                 [np.full((len(vc), 1), b, dtype=np.int32), vc.astype(np.int32)], axis=1
@@ -96,11 +101,26 @@ class BatchBuilder:
         order = keep[np.argsort(pack_keys(coords[keep]), kind="stable")]
 
         cap0 = self.fixed_capacity or bucket_capacity(len(order), self.buckets)
+        n_raw = len(order)
         order = order[:cap0]
         coords, feats, labels = coords[order], feats[order], labels[order]
         extra_cat = {k: v[order] for k, v in extra_cat.items()}
 
         graph = build_graph(coords, self.spec, self.capacities(cap0))
+        if stats_out is not None:
+            stats_out["scenes_dropped"] = scenes_dropped
+            stats_out["voxels_dropped"] = n_raw - len(order)
+            stats_out["levels"] = {
+                l: (int(lvl.num), lvl.capacity, bool(int(lvl.num) >= lvl.capacity and l > 0))
+                for l, lvl in enumerate(graph.levels)
+            }
+            # level 0 overflow is exact (n_raw known); deeper levels flag
+            # num == capacity (the truncation site, graph_host.py:399-407)
+            stats_out["levels"][0] = (
+                int(graph.levels[0].num),
+                graph.levels[0].capacity,
+                n_raw > cap0,
+            )
         n = len(coords)
         feats_p = np.zeros((cap0, feats.shape[1]), dtype=np.float32)
         feats_p[:n] = feats

@@ -1,18 +1,23 @@
-"""Dataset registry + prefetching data loader.
+"""Dataset registry + parallel prefetching data loader.
 
 The loader is the TPU-native replacement for torch DataLoader + InfSampler +
 collate (reference lib/dataloader.py:6-35, lib/transforms.py:385-423,
-lib/dataset.py:337-416): worker threads run the per-scene pipeline and the
-graph builder, assembling fixed-capacity device batches a step ahead of the
-accelerator. Color normalization (feats/255 - 0.5) happens here — matching
-the trainer-side normalization of the reference (pl_BaselineTrainer.py:299).
+lib/dataset.py:337-416): a pool of ``num_workers`` threads runs the per-scene
+pipeline and the graph builder (the C++ builder releases the GIL, so threads
+give real concurrency), assembling fixed-capacity device batches ahead of the
+accelerator. Batches are delivered in deterministic submission order; any
+worker exception is re-raised in the consuming thread (the reference gets
+this from torch DataLoader worker propagation). Color normalization
+(feats/255 - 0.5) happens here — matching the trainer-side normalization of
+the reference (pl_BaselineTrainer.py:299).
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, List, Optional
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List
 
 import numpy as np
 
@@ -46,6 +51,45 @@ def _populate():
                 _DATASETS[nm] = obj
 
 
+class LoaderCounters:
+    """Thread-safe data-loss / fill counters, logged by the trainer.
+
+    The reference's analog (limit_numpoints truncation, lib/transforms.py:405)
+    prints a warning per event; here every silent-drop site increments a
+    counter so truncation is observable in metrics.jsonl."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.batches = 0
+        self.scenes_dropped = 0  # limit_numpoints whole-scene drops
+        self.voxels_dropped = 0  # level-0 capacity truncation
+        self.level_overflows: dict = {}  # level -> count of truncated batches
+        self.level_fill_sum: dict = {}  # level -> sum of num/capacity
+
+    def update(self, stats: dict):
+        with self._lock:
+            self.batches += 1
+            self.scenes_dropped += stats.get("scenes_dropped", 0)
+            self.voxels_dropped += stats.get("voxels_dropped", 0)
+            for l, (num, cap, overflowed) in stats.get("levels", {}).items():
+                self.level_overflows[l] = self.level_overflows.get(l, 0) + int(overflowed)
+                self.level_fill_sum[l] = self.level_fill_sum.get(l, 0.0) + num / max(cap, 1)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = {
+                "loader_batches": self.batches,
+                "loader_scenes_dropped": self.scenes_dropped,
+                "loader_voxels_dropped": self.voxels_dropped,
+            }
+            for l, c in sorted(self.level_overflows.items()):
+                out[f"loader_overflow_l{l}"] = c
+            if self.batches:
+                for l, s in sorted(self.level_fill_sum.items()):
+                    out[f"loader_fill_l{l}"] = round(s / self.batches, 4)
+            return out
+
+
 class DataLoader:
     """Yields TrainBatch (one device's worth) or stacked multi-device
     batches. Infinite iteration when repeat=True (InfSampler semantics)."""
@@ -71,7 +115,12 @@ class DataLoader:
         self.num_workers = max(num_workers, 1)
         self.num_devices = num_devices
         self.epoch = 0
-        # Ship batches to the device from the producer thread so host->device
+        # Persistent across __iter__ calls: keeps per-scene augmentation RNG
+        # distinct epoch over epoch (torch DataLoader gets this implicitly
+        # from its global RNG stream).
+        self._batch_counter = 0
+        self.counters = LoaderCounters()
+        # Ship batches to the device from the worker thread so host->device
         # transfer overlaps the previous step's compute (jax.device_put is
         # async). Significant when H2D is slow (remote/tunneled accelerators).
         self.device_put = True
@@ -81,8 +130,10 @@ class DataLoader:
         return max(len(self.dataset) // per_step, 1) if len(self.dataset) else 0
 
     def _index_stream(self):
-        rng = np.random.default_rng(self.seed)
         while True:
+            # Epoch folded into the shuffle RNG: a fresh order every epoch
+            # (torch DistributedSampler.set_epoch semantics).
+            rng = np.random.default_rng((self.seed, self.epoch))
             order = np.arange(len(self.dataset))
             if self.shuffle:
                 rng.shuffle(order)
@@ -91,10 +142,10 @@ class DataLoader:
             if not self.repeat:
                 return
 
-    def _build_one(self, indices: List[int], batch_rng_seed: int) -> TrainBatch:
+    def _build_one(self, indices: List[int], batch_counter: int) -> TrainBatch:
         scenes = []
         for j, idx in enumerate(indices):
-            rng = np.random.default_rng((batch_rng_seed, j))
+            rng = np.random.default_rng((self.seed, batch_counter, j))
             item = self.dataset.get_item(int(idx), rng)
             feats = item["feats"]
             if getattr(self.dataset.config, "normalize_color", True):
@@ -104,20 +155,44 @@ class DataLoader:
             if labels is not None and labels.ndim == 2:
                 labels = labels[:, 0]
             scenes.append((item["coords"], feats, labels))
-        return self.builder.build(scenes)
+        stats: dict = {}
+        batch = self.builder.build(scenes, stats_out=stats)
+        self.counters.update(stats)
+        return batch
+
+    def _build_group(self, index_groups: List[List[int]], base_counter: int):
+        device_batches = [
+            self._build_one(indices, base_counter + k)
+            for k, indices in enumerate(index_groups)
+        ]
+        if self.num_devices == 1:
+            b = device_batches[0]
+        else:
+            from languagegroundedsemseg_tpu.parallel.dp import stack_batches
+
+            b = stack_batches(device_batches)
+        if self.device_put and self.num_devices == 1:
+            import jax
+
+            b = jax.device_put(b)
+        return b
 
     def __iter__(self) -> Iterator:
         stream = self._index_stream()
         per_batch = self.batch_size
         n_dev = self.num_devices
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers + 1)
+        # Queue of in-flight futures, in submission order. maxsize bounds the
+        # number of batches being built/held at once.
+        fut_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers + 1)
         stop = threading.Event()
+        pool = ThreadPoolExecutor(
+            max_workers=self.num_workers, thread_name_prefix="lgs-loader"
+        )
 
-        def producer():
-            counter = 0
+        def feeder():
             try:
                 while not stop.is_set():
-                    device_batches = []
+                    index_groups = []
                     for _ in range(n_dev):
                         indices = []
                         for _ in range(per_batch):
@@ -125,38 +200,31 @@ class DataLoader:
                                 indices.append(next(stream))
                             except StopIteration:
                                 break
-                        if len(indices) < per_batch and not indices:
-                            raise StopIteration
-                        device_batches.append(
-                            self._build_one(indices, self.seed * 100003 + counter)
-                        )
-                        counter += 1
-                    if n_dev == 1:
-                        b = device_batches[0]
-                    else:
-                        from languagegroundedsemseg_tpu.parallel.dp import stack_batches
-
-                        b = stack_batches(device_batches)
-                    if self.device_put and n_dev == 1:
-                        import jax
-
-                        b = jax.device_put(b)
-                    out_q.put(b)
-            except StopIteration:
-                pass
+                        if indices:
+                            index_groups.append(indices)
+                    if len(index_groups) < n_dev:
+                        return  # stream exhausted (partial multi-device steps drop)
+                    base = self._batch_counter
+                    self._batch_counter += n_dev
+                    fut_q.put(pool.submit(self._build_group, index_groups, base))
+            except BaseException as e:  # index-stream/submit errors -> consumer
+                fut_q.put(e)
             finally:
-                out_q.put(None)
+                fut_q.put(None)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=feeder, daemon=True)
         t.start()
         try:
             while True:
-                b = out_q.get()
-                if b is None:
+                item = fut_q.get()
+                if item is None:
                     return
-                yield b
+                if isinstance(item, BaseException):
+                    raise item
+                yield item.result()  # re-raises any worker exception
         finally:
             stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def initialize_data_loader(

@@ -59,6 +59,10 @@ class Res16UNetBase(nn.Module):
     PLANES: Tuple[int, ...] = (32, 64, 128, 256, 256, 256, 256, 256)
     LAYERS: Tuple[int, ...] = (2, 2, 2, 2, 2, 2, 2, 2)
     INIT_DIM: int = 32
+    # Param-path prefixes that stay trainable under --classifier_only
+    # (reference set_classifier_mode, pl_BaselineTrainer.py:411). Every
+    # head module — including the deeper Dv2/Dv3 heads — is named final*.
+    classifier_trainable_prefixes = ("final",)
 
     out_channels: int = 20
     conv1_kernel_size: int = 3

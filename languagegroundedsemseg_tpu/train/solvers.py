@@ -22,19 +22,29 @@ import optax
 
 class TraceDampState(NamedTuple):
     momentum: optax.Params
+    count: jnp.ndarray
 
 
 def trace_with_dampening(decay: float, dampening: float) -> optax.GradientTransformation:
-    """buf = decay * buf + (1 - dampening) * grad  (torch SGD momentum)."""
+    """buf = decay * buf + (1 - dampening) * grad  (torch SGD momentum).
+
+    torch initializes the buffer to the *raw* gradient on the first step
+    (dampening not applied, torch/optim/sgd.py) — matched via a step count.
+    """
 
     def init_fn(params):
-        return TraceDampState(jax.tree_util.tree_map(jnp.zeros_like, params))
+        return TraceDampState(
+            jax.tree_util.tree_map(jnp.zeros_like, params), jnp.zeros((), jnp.int32)
+        )
 
     def update_fn(updates, state, params=None):
+        first = state.count == 0
         new_buf = jax.tree_util.tree_map(
-            lambda b, g: decay * b + (1.0 - dampening) * g, state.momentum, updates
+            lambda b, g: jnp.where(first, g, decay * b + (1.0 - dampening) * g),
+            state.momentum,
+            updates,
         )
-        return new_buf, TraceDampState(new_buf)
+        return new_buf, TraceDampState(new_buf, state.count + 1)
 
     return optax.GradientTransformation(init_fn, update_fn)
 

@@ -115,9 +115,12 @@ class Trainer:
             objective = make_representation_objective(config, self.anchors, split)
         else:
             objective = make_baseline_objective(config, weights, split, self.anchors)
+        self._objective = objective
 
-        # Optimizer / schedule: the reference steps schedulers per epoch
-        # (PL default), so the schedule consumes floor(step / steps_per_epoch).
+        # Optimizer / schedule: the reference steps ALL schedulers once per
+        # epoch (PL default interval='epoch', lib/solvers.py via
+        # configure_optimizers), so every schedule consumes
+        # floor(step / steps_per_epoch).
         steps_per_epoch = max(len(self.train_loader), 1)
         epoch_sched = make_lr_schedule(
             config.scheduler, config.lr,
@@ -127,23 +130,28 @@ class Trainer:
             max_steps=config.max_epoch if config.scheduler == "PolyLR" else config.max_iter,
             exp_gamma=config.exp_gamma, exp_step_size=config.exp_step_size,
         )
-        unit = "epoch" if config.scheduler in ("MultiStepLR", "PolyLR") else "step"
-        sched = (
-            (lambda s: epoch_sched(jnp.floor(s / steps_per_epoch)))
-            if unit == "epoch"
-            else epoch_sched
-        )
+        sched = lambda s: epoch_sched(jnp.floor(s / steps_per_epoch))  # noqa: E731
         self.tx = initialize_optimizer(config, sched)
         if config.classifier_only:
-            # Freeze everything but the final classifier head (reference
-            # set_classifier_mode, pl_BaselineTrainer.py:411 and
-            # --classifier_only, scripts/fine_tune_classifier.sh).
+            # Freeze everything but the model-declared classifier head
+            # (reference set_classifier_mode, pl_BaselineTrainer.py:411 and
+            # --classifier_only, scripts/fine_tune_classifier.sh). Models
+            # declare their head via classifier_trainable_prefixes so deeper
+            # heads (Dv2/Dv3, clip_models.py) stay fully trainable.
             import optax as _optax
+
+            prefixes = tuple(
+                getattr(self.model, "classifier_trainable_prefixes", ("final",))
+            )
 
             def _label(params):
                 return jax.tree_util.tree_map_with_path(
                     lambda path, _: "train"
-                    if any("final" in str(getattr(p, "key", "")) for p in path)
+                    if any(
+                        str(getattr(p, "key", "")).startswith(pfx)
+                        for p in path
+                        for pfx in prefixes
+                    )
                     else "freeze",
                     params,
                 )
@@ -239,9 +247,18 @@ class Trainer:
         from languagegroundedsemseg_tpu.eval.miou import ap_histograms_jax
         from languagegroundedsemseg_tpu.losses.classification import cross_entropy_loss
 
-        loss = cross_entropy_loss(
-            logits, batch.labels, ignore_index=self.config.ignore_label, row_mask=row_mask
-        )
+        if self.representation_only:
+            # val_loss must be the same contrastive objective used in
+            # training (the reference RepresentationTrainer monitors it for
+            # best-checkpoint selection); a fixed key makes negative
+            # sampling deterministic across validation runs.
+            loss, _ = self._objective(
+                out_a, out_b, batch, jax.random.PRNGKey(0), row_mask
+            )
+        else:
+            loss = cross_entropy_loss(
+                logits, batch.labels, ignore_index=self.config.ignore_label, row_mask=row_mask
+            )
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         tp_hist, fp_hist = ap_histograms_jax(probs, batch.labels, self.num_labels, row_mask=row_mask)
         return hist, loss, pred, tp_hist, fp_hist
@@ -320,7 +337,8 @@ class Trainer:
                 val_metrics = self.validate()
                 self._plateau_update(val_metrics)
             rec = {"phase": "epoch", "epoch": epoch, "step": int(self.state.step),
-                   "train_loss": train_loss, "time_s": time.time() - t0, **val_metrics}
+                   "train_loss": train_loss, "time_s": time.time() - t0,
+                   **self.train_loader.counters.snapshot(), **val_metrics}
             self.log(rec)
             print(json.dumps(rec))
             self.ckpt.save(self.state, val_metrics, int(self.state.step))

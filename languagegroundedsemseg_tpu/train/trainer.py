@@ -271,7 +271,49 @@ class Trainer:
         self._log_f.write(json.dumps(record) + "\n")
         self._log_f.flush()
 
-    def validate(self, max_batches: Optional[int] = None) -> Dict[str, float]:
+    def _dump_batch_predictions(self, batch, pred, out_dir: str, scene_base: int):
+        """Per-scene prediction dumps (reference eval_step -> visualize_results,
+        lib/utils.py:340-435): writes the *pred*NNNN.npy files that
+        test_pointcloud consumes plus colored pred/gt/rgb .ply."""
+        from languagegroundedsemseg_tpu.utils.visualization import visualize_results
+
+        ds = self.val_loader.dataset
+        coords = np.asarray(batch.graph.levels[0].coords)
+        n = int(batch.graph.levels[0].num)
+        labels = np.asarray(batch.labels)[:n]
+        feats = np.asarray(batch.feats)[:n]
+        pred = np.asarray(pred)[:n]
+        coords = coords[:n]
+        inv_map = getattr(ds, "inverse_label_map", None)
+        inv_arr = None
+        if inv_map:
+            inv_arr = np.zeros(self.num_labels, dtype=np.int64)
+            for t, r in inv_map.items():
+                if 0 <= t < self.num_labels:
+                    inv_arr[t] = r
+        cmap = getattr(ds, "SCANNET_COLOR_MAP", {})
+        for b in np.unique(coords[:, 0]):
+            rows = coords[:, 0] == b
+            idx = scene_base + int(b)
+            name = (
+                ds.get_output_id(idx)
+                if hasattr(ds, "get_output_id")
+                else f"scene_{idx:04d}"
+            )
+            colors = None
+            if feats.shape[1] >= 3:
+                colors = (feats[rows, :3] + 0.5) * 255.0 if self.config.normalize_color else feats[rows, :3]
+            visualize_results(
+                out_dir, name, coords[rows, 1:4].astype(np.float32), colors,
+                pred[rows], labels[rows], cmap, self.num_labels,
+                iteration=idx, inverse_map=inv_arr,
+            )
+
+    def validate(
+        self,
+        max_batches: Optional[int] = None,
+        save_predictions_dir: Optional[str] = None,
+    ) -> Dict[str, float]:
         from languagegroundedsemseg_tpu.eval.miou import ap_from_histograms
 
         split = getattr(self.dataset, "frequency_organized_cats", None)
@@ -282,12 +324,17 @@ class Trainer:
         for i, batch in enumerate(self.val_loader):
             if max_batches is not None and i >= max_batches:
                 break
-            hist, loss, _, tp, fp = self.p_eval_metrics(self.state, batch)
+            hist, loss, pred, tp, fp = self.p_eval_metrics(self.state, batch)
             ev.update_hist(np.asarray(hist))
             tp_acc += np.asarray(tp)
             fp_acc += np.asarray(fp)
             losses += float(loss)
             count += 1
+            if save_predictions_dir:
+                self._dump_batch_predictions(
+                    batch, pred, save_predictions_dir,
+                    scene_base=i * self.val_loader.batch_size,
+                )
         m = ev.compute()
         aps = ap_from_histograms(tp_acc, fp_acc)
         out = {
@@ -365,12 +412,18 @@ class Trainer:
                 self.plateau_wait = 0
 
     def test(self, save_predictions: bool = False):
-        """Validation pass + optional full-pointcloud eval (reference
-        on_test_epoch_end -> dataset.test_pointcloud)."""
-        metrics = self.validate()
-        if self.config.test_original_pointcloud and hasattr(self.dataset, "test_pointcloud"):
-            miou, _ = self.val_loader.dataset.test_pointcloud(
-                self.config.visualize_path, self.num_labels
-            )
+        """Validation pass + optional full-pointcloud eval: voxel preds are
+        dumped per scene, then KD-queried from the full-resolution cloud
+        (reference eval_step -> visualize_results -> on_test_epoch_end ->
+        dataset.test_pointcloud, lib/datasets/scannet.py:391-439)."""
+        cfg = self.config
+        dump = (
+            save_predictions or cfg.save_prediction or cfg.visualize
+            or cfg.test_original_pointcloud
+        )
+        pred_dir = cfg.visualize_path or os.path.join(self.log_dir, "visualize")
+        metrics = self.validate(save_predictions_dir=pred_dir if dump else None)
+        if cfg.test_original_pointcloud and hasattr(self.val_loader.dataset, "test_pointcloud"):
+            miou, _ = self.val_loader.dataset.test_pointcloud(pred_dir, self.num_labels)
             metrics["full_cloud_miou"] = miou
         return metrics

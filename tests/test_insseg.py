@@ -130,3 +130,141 @@ def test_insseg_trainer_end_to_end(tmp_path):
     m = tr.validate(max_scenes=1)
     assert 0.0 <= m["val_miou"] <= 1.0
     assert np.isfinite(m["val_map25"]) or np.isnan(m["val_map25"])
+
+
+def test_instance_evaluator_duplicate_match_becomes_fp():
+    """Official protocol: a second prediction matching an already-matched GT
+    is a false positive with the lower confidence
+    (reference evaluate_semantic_instance.py:126-141). Hand-computed AP via
+    the benchmark PR integration: preds (0.9 TP), (0.8 dup FP), (0.7 TP on a
+    second GT) -> AP@all overlaps = 0.25 * (2/3 + 0.5 + 1 + 1) = 19/24."""
+    ev = InstanceEvaluator([1], ["a"])
+    sem = np.full(300, 1)
+    inst = np.concatenate([np.full(150, 0), np.full(150, 1)])
+    ev.add_gt("s", sem, inst)
+    m_gt0 = np.zeros(300, bool); m_gt0[:150] = True
+    m_gt1 = np.zeros(300, bool); m_gt1[150:] = True
+    ev.add_prediction("s", {
+        0: {"conf": 0.9, "label_id": 1, "pred_mask": m_gt0},
+        1: {"conf": 0.8, "label_id": 1, "pred_mask": m_gt0},  # duplicate
+        2: {"conf": 0.7, "label_id": 1, "pred_mask": m_gt1},
+    })
+    m = ev.evaluate()
+    np.testing.assert_allclose(m["ap_50"], 19.0 / 24.0, atol=1e-9)
+    np.testing.assert_allclose(m["all_ap"], 19.0 / 24.0, atol=1e-9)
+
+
+def test_instance_evaluator_void_protocol():
+    """A prediction spilling mostly onto void (invalid-class) vertices is
+    ignored, not a false positive, when proportion_ignore > overlap_th
+    (reference :156-166); a pred on valid-class background IS an FP."""
+    ev = InstanceEvaluator([1], ["a"])
+    sem = np.concatenate([np.full(100, 1), np.zeros(100, int)])  # 100 void
+    inst = np.concatenate([np.full(100, 0), np.full(100, -1)])
+    ev.add_gt("s", sem, inst)
+    gt_mask = np.zeros(200, bool); gt_mask[:100] = True
+    void_pred = np.zeros(200, bool); void_pred[100:160] = True  # all void
+    ev.add_prediction("s", {
+        0: {"conf": 0.9, "label_id": 1, "pred_mask": gt_mask},
+        1: {"conf": 0.95, "label_id": 1, "pred_mask": void_pred},
+    })
+    assert ev.evaluate()["all_ap"] == 1.0  # void pred ignored at every overlap
+
+    # an extra pred overlapping the GT below threshold (not void) IS an FP;
+    # scored higher than the TP it costs precision at full recall
+    ev2 = InstanceEvaluator([1], ["a"])
+    ev2.add_gt("s", sem, inst)
+    low_iou = np.zeros(200, bool); low_iou[:30] = True  # IoU 0.3 vs gt0
+    ev2.add_prediction("s", {
+        0: {"conf": 0.9, "label_id": 1, "pred_mask": gt_mask},
+        1: {"conf": 0.95, "label_id": 1, "pred_mask": low_iou},
+    })
+    # higher-scored FP before the TP: uninterpolated benchmark curve
+    # (r=1,p=.5) -> (r=0,p=0) -> trapezoid area = 0.25
+    np.testing.assert_allclose(ev2.evaluate()["ap_50"], 0.25, atol=1e-9)
+
+
+def test_instance_evaluator_small_gt_filtered_and_ignored():
+    """GTs below min_region_size don't participate in matching AND absorb
+    prediction overlap into the ignore pool (reference :105, :160-163)."""
+    ev = InstanceEvaluator([1], ["a"])
+    sem = np.full(200, 1)
+    # gt0: 195 verts; gt1: 5 verts (< 10 -> filtered)
+    inst = np.concatenate([np.full(195, 0), np.full(5, 1)])
+    ev.add_gt("s", sem, inst)
+    big = np.zeros(200, bool); big[:195] = True
+    small = np.zeros(200, bool); small[180:200] = True  # 15 on gt0, 5 on gt1
+    ev.add_prediction("s", {
+        0: {"conf": 0.9, "label_id": 1, "pred_mask": big},
+        1: {"conf": 0.8, "label_id": 1, "pred_mask": small},
+    })
+    # small pred: IoU vs gt0 = 15/200 (no match); ignore = 5 (small gt) of 20
+    # verts = 0.25 <= 0.5 -> FP at overlap .5; at overlap .25 it's 0.25 <= .25
+    # -> still FP; AP@50: TP(.9) + FP(.8): p/r as in the dup test's tail
+    m = ev.evaluate()
+    assert m["ap_50"] == 1.0  # FP at lower score than the full-recall TP
+    # with the small pred scored HIGHER the FP hurts
+    ev2 = InstanceEvaluator([1], ["a"])
+    ev2.add_gt("s", sem, inst)
+    ev2.add_prediction("s", {
+        0: {"conf": 0.9, "label_id": 1, "pred_mask": big},
+        1: {"conf": 0.95, "label_id": 1, "pred_mask": small},
+    })
+    np.testing.assert_allclose(ev2.evaluate()["ap_50"], 0.25, atol=1e-9)
+
+
+def test_instance_evaluator_hard_false_negative():
+    ev = InstanceEvaluator([1], ["a"])
+    sem = np.full(300, 1)
+    inst = np.concatenate([np.full(150, 0), np.full(150, 1)])
+    ev.add_gt("s", sem, inst)
+    m0 = np.zeros(300, bool); m0[:150] = True
+    ev.add_prediction("s", {0: {"conf": 0.9, "label_id": 1, "pred_mask": m0}})
+    # 1 TP, 1 unmatched GT -> recall caps at 0.5 -> benchmark AP = 0.5
+    np.testing.assert_allclose(ev.evaluate()["ap_50"], 0.5, atol=1e-9)
+
+
+def test_insseg_trainer_validates_and_checkpoints(tmp_path):
+    """fit() now validates periodically and writes dual-monitor checkpoints
+    (reference ddp_main.py:75-78) and supports resume."""
+    import glob as g
+
+    from languagegroundedsemseg_tpu.insseg.trainer import InssegTrainer
+
+    cfg = Config(
+        ignore_label=255, fixed_capacity=2048, batch_size=1, val_batch_size=1,
+        log_dir=str(tmp_path / "i1"), model="InstanceRes16UNet14A", lr=0.05,
+    )
+    tr = InssegTrainer(cfg)
+    tr.fit(max_steps=2, log_every=1, val_every=2, max_val_scenes=1)
+    assert g.glob(str(tmp_path / "i1" / "best_val_map05*.ckpt"))
+    assert g.glob(str(tmp_path / "i1" / "best_val_miou*.ckpt"))
+    assert (tmp_path / "i1" / "metrics.jsonl").exists()
+
+    cfg2 = Config(
+        ignore_label=255, fixed_capacity=2048, batch_size=1, val_batch_size=1,
+        log_dir=str(tmp_path / "i2"), model="InstanceRes16UNet14A", lr=0.05,
+        resume=str(tmp_path / "i1"),
+    )
+    tr2 = InssegTrainer(cfg2)
+    tr2.fit(max_steps=3, log_every=10)
+    assert int(tr2.state.step) == 3  # resumed at 2, +1
+
+
+def test_insseg_trainer_multidevice(tmp_path):
+    """Data-parallel insseg training over the 8 virtual CPU devices
+    (reference trains insseg on 8 GPUs, config/default.yaml:101-111)."""
+    import jax as _jax
+
+    from languagegroundedsemseg_tpu.insseg.trainer import InssegTrainer
+
+    n_dev = min(8, len(_jax.devices()))
+    cfg = Config(
+        ignore_label=255, fixed_capacity=1024, batch_size=1, val_batch_size=1,
+        log_dir=str(tmp_path / "mdev"), model="InstanceRes16UNet14A", lr=0.05,
+        num_devices=n_dev,
+    )
+    tr = InssegTrainer(cfg)
+    assert tr.mesh is not None and tr.n_dev == n_dev
+    tr.fit(max_steps=1, log_every=1)
+    assert int(tr.state.step) == 1

@@ -67,3 +67,45 @@ def test_trainer_resume(tmp_path):
     tr2 = Trainer(cfg2)
     tr2.fit(max_epochs=1, max_steps_per_epoch=1)
     assert int(tr2.state.step) == 3  # resumed at 2, +1
+
+
+def test_full_cloud_eval_round_trip(tmp_path):
+    """Trainer.test() writes per-scene voxel predictions and test_pointcloud
+    KD-queries them back to the full-resolution cloud (reference
+    visualize_results -> test_pointcloud, lib/datasets/scannet.py:391-439)."""
+    from languagegroundedsemseg_tpu import constants as C
+    from languagegroundedsemseg_tpu.utils.ply import write_ply
+
+    valid = np.asarray(C.valid_class_ids(20))
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(2):
+        n = 3000
+        xyz = (rng.random((n, 3)) * 2.0).astype(np.float32)
+        rgb = rng.integers(0, 255, (n, 3)).astype(np.float32)
+        labels = rng.choice(valid, n).astype(np.int32)
+        name = f"scene{i:04d}_00.ply"
+        write_ply(str(tmp_path / name), xyz, rgb, labels)
+        names.append(name)
+    (tmp_path / "val.txt").write_text("\n".join(names) + "\n")
+    (tmp_path / "train.txt").write_text("\n".join(names) + "\n")
+
+    cfg = _cfg(
+        dataset="ScannetVoxelization2cmDataset",
+        scannet_path=str(tmp_path),
+        log_dir=str(tmp_path / "log"),
+        batch_size=1,
+        val_batch_size=2,
+        fixed_capacity=8192,
+        test_original_pointcloud=True,
+        visualize_path=str(tmp_path / "vis"),
+    )
+    tr = Trainer(cfg)
+    m = tr.test()
+    assert "full_cloud_miou" in m and np.isfinite(m["full_cloud_miou"])
+    import glob as g
+
+    # per-scene dumps exist for both scenes and fulleval outputs were written
+    assert len(g.glob(str(tmp_path / "vis" / "*pred_000*.npy"))) == 2
+    assert len(g.glob(str(tmp_path / "vis" / "fulleval" / "*.txt"))) == 2
+    assert len(g.glob(str(tmp_path / "vis" / "*_pred.ply"))) == 2

@@ -120,6 +120,10 @@ class InstanceVoxelizationDataset(VoxelizationDataset):
             centers=info["center"],
             scene_name=scene,
             transform=transform,
+            # full-resolution cloud for instance eval back-projection
+            # (reference get_original_pointcloud,
+            # downstream/insseg/datasets/scannet.py:149-170)
+            original=dict(xyz=xyz.astype(np.float32), semantic=semantic, instance=instance),
         )
 
 

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from scipy import spatial
 
 from languagegroundedsemseg_tpu.config import Config
 from languagegroundedsemseg_tpu.data.batching import BatchBuilder
@@ -64,18 +65,37 @@ class InssegTrainer:
             level_ratios=config.level_capacity_ratios,
         )
 
+        # Multi-device data parallelism: grads + BN stats psum over the mesh
+        # (the reference trains insseg on 8 GPUs via DDP,
+        # config/default.yaml:101-111, scripts/train_scannet_slurm.sh).
+        n_dev = config.num_devices or 1
+        self.n_dev = max(1, min(n_dev, len(jax.devices())))
+        self.mesh = None
+        self.axis = None
+        if self.n_dev > 1:
+            from languagegroundedsemseg_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(self.n_dev)
+            self.axis = "data"
+
         dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
         model_cls = model_cls or INSSEG_MODELS.get(config.model, InstanceRes16UNet)
-        self.model = model_cls(
-            out_channels=self.num_labels,
-            conv1_kernel_size=config.conv1_kernel_size,
-            bn_momentum=config.bn_momentum,
-            max_batch=max(config.batch_size, config.val_batch_size) + 1,
-            dtype=dtype,
-        )
+
+        def _mk(axis_name):
+            return model_cls(
+                out_channels=self.num_labels,
+                conv1_kernel_size=config.conv1_kernel_size,
+                bn_momentum=config.bn_momentum,
+                max_batch=max(config.batch_size, config.val_batch_size) + 1,
+                dtype=dtype,
+                axis_name=axis_name,
+            )
+
+        self.model = _mk(self.axis)
+        self.eval_model = self.model if self.axis is None else _mk(None)
 
         batch = self._make_batch([0])
-        variables = self.model.init(
+        variables = self.eval_model.init(
             jax.random.PRNGKey(config.seed), batch.feats, batch.graph, train=False
         )
         sched = make_lr_schedule(config.scheduler, config.lr, step_gamma=config.step_gamma,
@@ -83,8 +103,14 @@ class InssegTrainer:
                                  max_steps=config.max_iter)
         self.tx = initialize_optimizer(config, sched)
         self.state = TrainState.create(variables, self.tx)
-        self.p_train_step = jax.jit(self._train_step)
+        if self.mesh is not None:
+            from languagegroundedsemseg_tpu.parallel.dp import shard_train_step
+
+            self.p_train_step = shard_train_step(self._train_step, self.mesh)
+        else:
+            self.p_train_step = jax.jit(self._train_step)
         self.p_eval = jax.jit(self._eval_fn)
+        self._log_f = open(os.path.join(config.log_dir, "metrics.jsonl"), "a")
 
         self.clusterer = Clustering(
             ignored_labels=[],  # train-id space; benchmark mapping applied after
@@ -139,13 +165,17 @@ class InssegTrainer:
         return total, dict(semantic_loss=sem, offset_norm_loss=norm_l,
                            offset_dir_loss=dir_l), (offsets, logits), mut
 
-    def _train_step(self, state: TrainState, batch: TrainBatch):
+    def _train_step(self, state: TrainState, batch: TrainBatch, key=None):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             total, parts, _, mut = self._losses(variables, batch, train=True)
             return total, (parts, mut["batch_stats"])
 
         (loss, (parts, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if self.axis is not None:
+            grads = jax.lax.pmean(grads, self.axis)
+            loss = jax.lax.pmean(loss, self.axis)
+            parts = jax.lax.pmean(parts, self.axis)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -156,7 +186,7 @@ class InssegTrainer:
 
     def _eval_fn(self, state: TrainState, batch: TrainBatch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        offsets, logits, _ = self.model.apply(
+        offsets, logits, _ = self.eval_model.apply(
             variables, batch.feats, batch.graph, train=False
         )
         row_mask = batch.graph.levels[0].mask()
@@ -167,15 +197,63 @@ class InssegTrainer:
 
     # ------------------------------------------------------------------
 
-    def fit(self, max_steps: int = 100, log_every: int = 10):
-        rng = np.random.default_rng(self.config.seed)
+    def _log(self, rec: Dict):
+        self._log_f.write(json.dumps({k: (float(v) if hasattr(v, "item") else v)
+                                      for k, v in rec.items()}) + "\n")
+        self._log_f.flush()
+
+    def fit(
+        self,
+        max_steps: int = 100,
+        log_every: int = 10,
+        val_every: int = 0,
+        max_val_scenes: Optional[int] = None,
+    ):
+        """Train loop with periodic validation + dual-monitor checkpointing
+        (reference ddp_main.py:75-78 checkpoints on val_miou AND val_map05)
+        and max-step resume (ddp_main.py:83-105)."""
+        cfg = self.config
+        if cfg.resume:
+            from languagegroundedsemseg_tpu.train.checkpoints import (
+                find_resume_checkpoint,
+                restore_checkpoint,
+            )
+
+            path = cfg.resume if os.path.isfile(cfg.resume) else find_resume_checkpoint(cfg.resume)
+            if path:
+                self.state = restore_checkpoint(path, self.state)
+                print(f"resumed from {path} at step {int(self.state.step)}")
+
+        rng = np.random.default_rng(cfg.seed)
         n = len(self.dataset)
-        for step in range(max_steps):
-            idxs = rng.choice(n, size=min(self.config.batch_size, n), replace=False)
-            batch = self._make_batch(idxs, seed=step + 1)
-            self.state, parts = self.p_train_step(self.state, batch)
+        key = jax.random.PRNGKey(cfg.seed)
+        start = int(self.state.step)
+        for step in range(start, max_steps):
+            if self.mesh is not None:
+                from languagegroundedsemseg_tpu.parallel.dp import stack_batches
+
+                per_dev = min(cfg.batch_size, n)
+                batches = [
+                    self._make_batch(
+                        rng.choice(n, size=per_dev, replace=False), seed=(step + 1) * 131 + d
+                    )
+                    for d in range(self.n_dev)
+                ]
+                batch = stack_batches(batches)
+            else:
+                idxs = rng.choice(n, size=min(cfg.batch_size, n), replace=False)
+                batch = self._make_batch(idxs, seed=step + 1)
+            self.state, parts = self.p_train_step(self.state, batch, key)
             if (step + 1) % log_every == 0:
-                print(json.dumps({k: float(v) for k, v in parts.items()} | {"step": step + 1}))
+                rec = {k: float(v) for k, v in parts.items()} | {"step": step + 1}
+                print(json.dumps(rec))
+                self._log(rec | {"phase": "train"})
+            if val_every and (step + 1) % val_every == 0:
+                metrics = self.validate(max_scenes=max_val_scenes)
+                self._log(metrics | {"phase": "val", "step": step + 1})
+                self.ckpt.save(self.state, metrics, step + 1)
+        if not val_every:
+            self.ckpt.save(self.state, {}, int(self.state.step))
         return self.state
 
     def validate(self, max_scenes: Optional[int] = None) -> Dict[str, float]:
@@ -211,20 +289,43 @@ class InssegTrainer:
             vertices = coords * self.voxel_size + offsets
             instances = self.clusterer.get_instances(vertices, probs)
             scene = item["scene_name"]
-            # GT in raw benchmark id space
-            inv = np.asarray(
-                [ds.inverse_label_map.get(t, -1) for t in range(self.num_labels)]
-            )
-            # match GT rows to the batch's kept rows is nontrivial after
-            # dedup; rebuild from batch labels + instance extras
-            sem_raw = np.where(
-                np.asarray(batch.labels)[:n_valid] == self.config.ignore_label,
-                -1,
-                inv[np.clip(np.asarray(batch.labels)[:n_valid], 0, self.num_labels - 1)],
-            )
-            inst_ids = np.asarray(batch.extras["instance_ids"])[:n_valid]
-            ev_inst.add_gt(scene, sem_raw, inst_ids)
-            ev_inst.add_prediction(scene, instances)
+            original = item.get("original")
+            if original is not None:
+                # full-resolution instance eval: back-project voxel masks to
+                # the original points via nearest-voxel query (the reference
+                # uses a pykeops KNN, datasets/scannet.py:149-170; a host
+                # KD-tree is our analog). GT comes from the raw cloud.
+                m_v, m_r = item["transform"]
+                rigid = m_v  # val path voxelizes without augmentation
+                homo = np.hstack([
+                    original["xyz"], np.ones((len(original["xyz"]), 1), np.float32)
+                ])
+                xyz_vox = homo @ rigid.T[:, :3]
+                tree = spatial.cKDTree(coords.astype(np.float32) + 0.5)
+                _, nearest = tree.query(xyz_vox)
+                full_instances = {
+                    k: {
+                        "label_id": v["label_id"],
+                        "conf": v["conf"],
+                        "pred_mask": np.asarray(v["pred_mask"])[nearest],
+                    }
+                    for k, v in instances.items()
+                }
+                ev_inst.add_gt(scene, original["semantic"], original["instance"])
+                ev_inst.add_prediction(scene, full_instances)
+            else:
+                # voxel-space fallback (no original cloud available)
+                inv = np.asarray(
+                    [ds.inverse_label_map.get(t, -1) for t in range(self.num_labels)]
+                )
+                sem_raw = np.where(
+                    np.asarray(batch.labels)[:n_valid] == self.config.ignore_label,
+                    -1,
+                    inv[np.clip(np.asarray(batch.labels)[:n_valid], 0, self.num_labels - 1)],
+                )
+                inst_ids = np.asarray(batch.extras["instance_ids"])[:n_valid]
+                ev_inst.add_gt(scene, sem_raw, inst_ids)
+                ev_inst.add_prediction(scene, instances)
 
         sem = ev_sem.compute()
         inst = ev_inst.evaluate()

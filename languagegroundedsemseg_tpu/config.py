@@ -118,6 +118,12 @@ class Config:
     is_train: bool = True
     stat_freq: int = 40
     visualize_freq: int = 0
+    # Observability: TensorBoard event files (reference main.py:178) and
+    # jax.profiler trace capture (written under <log_dir>/plugins)
+    tensorboard: bool = True
+    profile: bool = False
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
     val_freq: int = 400
     train_phase: str = "train"
     val_phase: str = "val"

@@ -55,6 +55,52 @@ def sample_negatives(
     return r + (r >= lab).astype(r.dtype)
 
 
+def latent_attribute_augmentation(
+    key: jax.Array,
+    features: jnp.ndarray,
+    labels: jnp.ndarray,
+    projection_w: jnp.ndarray,
+    augment_mask: jnp.ndarray,
+    aug_prob: float,
+    ignore_index: int = 255,
+):
+    """Latent attribute augmentation (reference
+    ContrastiveLanguageLoss.py:61-69,161-166, vectorized).
+
+    The reference walks unique categories in Python and, for each eligible
+    (tail) category, with probability ``aug_prob`` rotates that category's
+    features through one randomly-chosen attribute head of the pretrained
+    AttributeFittingModel and retargets the positive anchor to the attributed
+    prompt. Here the per-category Bernoulli draw and attribute choice are
+    (C,) vectors and the projection is applied as A masked matmuls — exact
+    distributional parity, one fused XLA computation.
+
+    projection_w: (A, D, D) attribute rotations (models/classifier.py).
+    augment_mask: (C,) bool — categories eligible (the tail split).
+    Returns (features', pos_slot (N,) int32): slot 0 = raw category prompt,
+    slot a+1 = attributed prompt a, matching the anchor layout
+    anchors[:, 0] = raw / anchors[:, 1:] = attributed.
+    """
+    num_attributes = projection_w.shape[0]
+    num_cats = augment_mask.shape[0]
+    k1, k2 = jax.random.split(key)
+    do_cat = (jax.random.uniform(k1, (num_cats,)) < aug_prob) & augment_mask
+    attr_cat = jax.random.randint(k2, (num_cats,), 0, num_attributes)
+
+    safe = jnp.clip(labels, 0, num_cats - 1)
+    valid = labels != ignore_index
+    do_pt = do_cat[safe] & valid
+    attr_pt = attr_cat[safe]
+
+    f32 = features.astype(jnp.float32)
+    out = f32
+    for a in range(num_attributes):  # static: A masked matmuls, (N, D) memory
+        sel = (do_pt & (attr_pt == a))[:, None]
+        out = jnp.where(sel, f32 @ projection_w[a].astype(jnp.float32), out)
+    pos_slot = jnp.where(do_pt, attr_pt + 1, 0).astype(jnp.int32)
+    return out.astype(features.dtype), pos_slot
+
+
 def contrastive_language_loss(
     key: jax.Array,
     features: jnp.ndarray,
@@ -69,9 +115,18 @@ def contrastive_language_loss(
     ignore_index: int = 255,
     row_mask: Optional[jnp.ndarray] = None,
     reduction: str = "mean",
+    pos_slot: Optional[jnp.ndarray] = None,
 ):
-    """Returns (loss, pos_loss_per_point, neg_loss_per_point)."""
-    if anchors.ndim == 3:  # (C, A, D) attributed anchors -> raw category slot
+    """Returns (loss, pos_loss_per_point, neg_loss_per_point).
+
+    ``pos_slot`` (from latent_attribute_augmentation) selects the attributed
+    anchor slot per point when ``anchors`` is (C, A, D); negatives always
+    come from the raw slot 0 (reference ContrastiveLanguageLoss.py:176).
+    """
+    attributed = None
+    if anchors.ndim == 3:  # (C, A, D) attributed anchors
+        if pos_slot is not None and anchors.shape[1] > 1:
+            attributed = anchors.astype(jnp.float32)
         anchors = anchors[:, 0, :]
     c = anchors.shape[0]
     feats = features.astype(jnp.float32)
@@ -82,7 +137,11 @@ def contrastive_language_loss(
         valid = valid & (row_mask > 0)
     safe = jnp.clip(labels, 0, c - 1)
 
-    pos = jnp.take(anchors, safe, axis=0)[:, None, :]  # (N, 1, D)
+    if attributed is not None:
+        slot = jnp.clip(pos_slot, 0, attributed.shape[1] - 1)
+        pos = attributed[safe, slot][:, None, :]  # (N, 1, D)
+    else:
+        pos = jnp.take(anchors, safe, axis=0)[:, None, :]  # (N, 1, D)
     neg_ids = sample_negatives(key, safe, c, num_negatives)
     neg = jnp.take(anchors, neg_ids, axis=0)  # (N, S, D)
 

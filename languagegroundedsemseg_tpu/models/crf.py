@@ -26,22 +26,25 @@ class MeanFieldCRF(nn.Module):
     num_classes: int
     spatial_sigma: float = 1.0
     chromatic_sigma: float = 12.0
+    temporal_sigma: float = 1.0
     iterations: int = 10
     num_neighbors: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, unaries, coords_xyz, colors, row_mask):
+    def __call__(self, unaries, coords_xyz, colors, row_mask, time=None):
         """unaries (N, C) logits; coords_xyz (N, 3) voxel coords; colors
-        (N, 3) in [0, 255]; -> refined logits (N, C)."""
+        (N, 3) in [0, 255]; optional time (N,) temporal coordinate (the
+        trilateral 7D space, reference conditional_random_fields.py:157);
+        -> refined logits (N, C)."""
         n, c = unaries.shape
-        feat6 = jnp.concatenate(
-            [
-                coords_xyz.astype(jnp.float32) / self.spatial_sigma,
-                colors.astype(jnp.float32) / self.chromatic_sigma,
-            ],
-            axis=1,
-        )
+        cols = [
+            coords_xyz.astype(jnp.float32) / self.spatial_sigma,
+            colors.astype(jnp.float32) / self.chromatic_sigma,
+        ]
+        if time is not None:
+            cols.append(time.astype(jnp.float32)[:, None] / self.temporal_sigma)
+        feat6 = jnp.concatenate(cols, axis=1)
         dist, idx = knn(feat6, feat6, self.num_neighbors + 1, row_mask)
         dist, idx = dist[:, 1:], idx[:, 1:]  # drop self
         w = jnp.exp(-0.5 * dist.astype(jnp.float32) ** 2)
@@ -73,7 +76,9 @@ class Wrapper(nn.Module):
     num_classes: int
     spatial_sigma: float = 1.0
     chromatic_sigma: float = 12.0
+    temporal_sigma: float = 1.0
     iterations: int = 10
+    use_temporal: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -84,14 +89,22 @@ class Wrapper(nn.Module):
             num_classes=self.num_classes,
             spatial_sigma=self.spatial_sigma,
             chromatic_sigma=self.chromatic_sigma,
+            temporal_sigma=self.temporal_sigma,
             iterations=self.iterations,
             dtype=self.dtype,
         )
+        coords = lvl0.coords
+        # coords layout (batch, x, y, z[, t]): 4D spatio-temporal graphs
+        # carry the temporal coordinate in the last column
+        time = (
+            coords[:, 4] if self.use_temporal and coords.shape[1] > 4 else None
+        )
         refined = crf(
             logits,
-            lvl0.coords[:, 1:],
+            coords[:, 1:4],
             (feats[:, :3] + 0.5) * 255.0,
             lvl0.mask(),
+            time=time,
         )
         return (refined if apply_crf else logits), features
 
@@ -102,5 +115,9 @@ class BilateralCRF(Wrapper):
 
 
 class TrilateralCRF(Wrapper):
-    """Spatial + chromatic + temporal filtering (reference :157). With d=4
-    graphs the temporal coordinate participates in the kNN feature space."""
+    """Spatial + chromatic + temporal (7D) filtering (reference :157): on 4D
+    spatio-temporal graphs the time column joins the kNN feature space with
+    its own sigma; on 3D graphs it degrades to bilateral (as the reference
+    does when fed single-frame clouds)."""
+
+    use_temporal: bool = True

@@ -102,6 +102,28 @@ class CheckpointManager:
 # ---- cross-ecosystem (torch) import ----------------------------------------
 
 
+def me_kernel_permutation(num_slots: int, d: int = 3) -> Optional[np.ndarray]:
+    """ME -> canonical kernel-slot permutation for hypercube regions.
+
+    MinkowskiEngine's kernel-region iterator enumerates cube offsets with the
+    FIRST spatial axis varying fastest (kernel_region.hpp increments
+    coordinate 1 first); our canonical order (sparse/offsets.py,
+    itertools.product) has the LAST axis fastest. Both walk the same per-axis
+    ranges, so the mapping is the axis-reversal of the index cube:
+    ``w_canonical[k] = w_me[perm[k]]``.
+
+    Returns None when num_slots is not a perfect d-cube (cross/custom
+    regions; our 4D custom region already replicates the reference's
+    assembly order at models/modules/common.py:125-174, so no permutation
+    applies there).
+    """
+    k = round(num_slots ** (1.0 / d))
+    if k**d != num_slots or k <= 1:
+        return None
+    cube = np.arange(num_slots).reshape((k,) * d)
+    return cube.transpose(tuple(range(d - 1, -1, -1))).ravel()
+
+
 def _strip_prefixes(name: str) -> str:
     for p in ("module.", "model.", "encoder."):
         if name.startswith(p):
@@ -122,7 +144,7 @@ def torch_to_flax_params(
     sd: Dict[str, np.ndarray],
     params: FrozenDict,
     batch_stats: FrozenDict,
-    kernel_perm: Optional[np.ndarray] = None,
+    kernel_perm: "Optional[np.ndarray] | str" = "me",
 ) -> Tuple[FrozenDict, FrozenDict, list]:
     """Map a MinkowskiEngine Res16UNet state_dict onto our flax trees.
 
@@ -130,8 +152,10 @@ def torch_to_flax_params(
     block1.0.conv1.kernel, ...) map onto our flax paths (conv0p1s1/kernel,
     bn0/BatchNorm/scale, block1_0/conv1/kernel, ...). Shapes are matched
     leniently (reference lib/utils.py:17-45): mismatches are skipped and
-    reported. ``kernel_perm`` optionally permutes ME kernel-slot order into
-    our canonical offset order.
+    reported. ``kernel_perm`` permutes ME kernel-slot order into our
+    canonical offset order: the default "me" derives the hypercube
+    axis-reversal per tensor (me_kernel_permutation); pass an explicit array
+    or None to override.
     """
     flat_params = _flatten(params)
     flat_stats = _flatten(batch_stats)
@@ -161,8 +185,13 @@ def torch_to_flax_params(
 
         ok = False
         if tail == "kernel":
-            if v.ndim == 3 and kernel_perm is not None and len(kernel_perm) == v.shape[0]:
-                v = v[kernel_perm]
+            if v.ndim == 3:
+                if isinstance(kernel_perm, str) and kernel_perm == "me":
+                    p = me_kernel_permutation(v.shape[0])
+                    if p is not None:
+                        v = v[p]
+                elif kernel_perm is not None and len(kernel_perm) == v.shape[0]:
+                    v = v[kernel_perm]
             ok = try_set(flat_params, f"{base}/kernel", v)
         elif tail in ("weight", "bias") and joined[-2] == "bn":
             nm = {"weight": "scale", "bias": "bias"}[tail]

@@ -25,6 +25,7 @@ from languagegroundedsemseg_tpu.losses.contrastive import (
     feature_norm_penalty,
     feature_sim,
     l2_anchor_loss,
+    latent_attribute_augmentation,
 )
 
 
@@ -118,20 +119,47 @@ def make_representation_objective(
     config,
     anchors: np.ndarray,
     split_matrix: Optional[np.ndarray] = None,
+    projection_w: Optional[np.ndarray] = None,
 ):
-    """Language-grounded pretraining loss (RepresentationTrainer)."""
+    """Language-grounded pretraining loss (RepresentationTrainer).
+
+    When config.instance_augmentation == 'latent' and attributed anchors
+    (C, A>1, D) plus projection weights are available, tail-category features
+    are rotated into a random attribute's latent space and pulled toward the
+    attributed prompt anchor (reference pl_RepresentationTrainer.py:46 +
+    ContrastiveLanguageLoss.py:161-166).
+    """
     anchors_j = jnp.asarray(anchors)
+    latent = (
+        config.instance_augmentation == "latent"
+        and projection_w is not None
+        and anchors_j.ndim == 3
+        and anchors_j.shape[1] > 1
+        and split_matrix is not None
+    )
+    proj_j = None if projection_w is None else jnp.asarray(projection_w)
+    tail_mask = (
+        jnp.asarray(np.asarray(split_matrix)[:, 2], bool) if latent else None
+    )
 
     def objective(features, _features_again, batch, key, row_mask):
         labels = batch.labels
         k_emb, key = jax.random.split(key)
+        pos_slot = None
+        if latent:
+            k_aug, k_emb = jax.random.split(k_emb)
+            features, pos_slot = latent_attribute_augmentation(
+                k_aug, features, labels, proj_j, tail_mask,
+                config.instance_augmentation_color_aug_prob,
+                ignore_index=config.ignore_label,
+            )
         if config.use_embedding_loss == "l2" or config.embedding_loss_type == "l2":
             per_point = l2_anchor_loss(features, labels, anchors_j, config.ignore_label, row_mask)
             pos_mean = per_point.sum() / jnp.maximum((row_mask > 0).sum(), 1)
             neg_mean = jnp.zeros(())
         else:
             _, pos_l, neg_l = contrastive_language_loss(
-                k_emb, features, labels, anchors_j,
+                k_emb, features, labels, anchors_j, pos_slot=pos_slot,
                 num_negatives=config.num_negative_samples,
                 pos_thresh=config.contrast_pos_thresh,
                 neg_thresh=config.contrast_neg_thresh,

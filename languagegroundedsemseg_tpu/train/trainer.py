@@ -107,12 +107,20 @@ class Trainer:
 
         # Objective
         anchors = getattr(self.dataset, "loaded_text_features", None)
-        self.anchors = None if anchors is None else np.asarray(anchors)[:, 0, :]
+        anchors_full = None if anchors is None else np.asarray(anchors)
+        self.anchors = None if anchors_full is None else anchors_full[:, 0, :]
         split = getattr(self.dataset, "frequency_organized_cats", None)
         weights = getattr(self.dataset, "category_weights", None)
         if self.mode == "representation":
             assert self.anchors is not None, "representation mode needs text anchors"
-            objective = make_representation_objective(config, self.anchors, split)
+            proj_w = (
+                self._load_projection_weights(anchors_full.shape[-1])
+                if config.instance_augmentation == "latent"
+                else None
+            )
+            objective = make_representation_objective(
+                config, anchors_full, split, projection_w=proj_w
+            )
         else:
             objective = make_baseline_objective(config, weights, split, self.anchors)
         self._objective = objective
@@ -188,6 +196,20 @@ class Trainer:
         with open(os.path.join(self.log_dir, "config.json"), "w") as f:
             f.write(config.to_json())
 
+        # Observability: TensorBoard scalars (reference main.py:178) and
+        # jax.profiler trace capture behind config.profile (SURVEY §5)
+        from languagegroundedsemseg_tpu.utils.observability import (
+            ProfilerHook,
+            TensorBoardLogger,
+        )
+
+        self.tb = TensorBoardLogger(self.log_dir, enabled=config.tensorboard)
+        self.profiler = ProfilerHook(
+            self.log_dir, enabled=config.profile,
+            start_step=config.profile_start_step,
+            num_steps=config.profile_num_steps,
+        )
+
     # ------------------------------------------------------------------
 
     def _first_batch(self):
@@ -211,6 +233,40 @@ class Trainer:
         if labels is not None and labels.ndim == 2:
             labels = labels[:, 0]
         return builder.build([(item["coords"], feats, labels)])
+
+    def _load_projection_weights(self, feature_dim: int) -> np.ndarray:
+        """(A, D, D) attribute-rotation weights for latent augmentation.
+
+        Loads the pretrained AttributeFittingModel from
+        config.projection_model_path when present (reference
+        ContrastiveLanguageLoss.py:53-57 does the same torch.load); falls
+        back to near-identity random maps so the path stays runnable —
+        matching the reference, which also proceeds unloaded when the file
+        is absent.
+        """
+        cfg = self.config
+        num_attributes = 8  # reference's fixed attribute prompt set
+        path = os.path.join(cfg.scannet_path or cfg.data_dir or "", cfg.projection_model_path)
+        if os.path.isfile(path):
+            from languagegroundedsemseg_tpu.train.checkpoints import load_torch_state_dict
+
+            sd = load_torch_state_dict(path)
+            mats = []
+            for a in range(num_attributes):
+                for k in (f"maps.{a}.weight", f"projections.{a}.weight", f"{a}.weight"):
+                    if k in sd and sd[k].shape == (feature_dim, feature_dim):
+                        mats.append(np.asarray(sd[k]).T)  # torch Linear: y = x W^T
+                        break
+            if len(mats) == num_attributes:
+                print(f"loaded attribute projection model from {path}")
+                return np.stack(mats)
+            print(f"projection model at {path} had unexpected keys; using random init")
+        rng = np.random.default_rng(cfg.seed)
+        eye = np.eye(feature_dim, dtype=np.float32)
+        return np.stack([
+            eye + 0.02 * rng.normal(size=(feature_dim, feature_dim)).astype(np.float32)
+            for _ in range(num_attributes)
+        ])
 
     def _maybe_load_weights(self, variables):
         cfg = self.config
@@ -270,6 +326,14 @@ class Trainer:
                   for k, v in record.items()}
         self._log_f.write(json.dumps(record) + "\n")
         self._log_f.flush()
+        step = int(record.get("step", 0))
+        phase = record.get("phase", "train")
+        self.tb.log_scalars(
+            step,
+            {k: v for k, v in record.items()
+             if isinstance(v, float) and k not in ("epoch", "step")},
+            prefix=f"{phase}/",
+        )
 
     def _dump_batch_predictions(self, batch, pred, out_dir: str, scene_base: int):
         """Per-scene prediction dumps (reference eval_step -> visualize_results,
@@ -368,7 +432,9 @@ class Trainer:
             t0 = time.time()
             n_steps, loss_sum = 0, 0.0
             for batch in self.train_loader:
+                self.profiler.maybe_start(int(self.state.step))
                 self.state, metrics = self.p_train_step(self.state, batch, key)
+                self.profiler.maybe_stop(int(self.state.step))
                 n_steps += 1
                 loss_sum += float(metrics["loss"])
                 if n_steps % cfg.stat_freq == 0:
@@ -389,6 +455,7 @@ class Trainer:
             self.log(rec)
             print(json.dumps(rec))
             self.ckpt.save(self.state, val_metrics, int(self.state.step))
+        self.profiler.close()
         return self.state
 
     def _plateau_update(self, val_metrics: Dict[str, float]):

@@ -65,6 +65,36 @@ def test_crf_sharpens_consistent_regions():
     assert (refined.argmax(1) == 1).mean() > (unaries.argmax(1) == 1).mean()
 
 
+def test_trilateral_time_separates_frames():
+    """With the temporal coordinate in the kNN space (TrilateralCRF 7D),
+    spatially coincident points from different frames stop smoothing each
+    other once temporal_sigma is small."""
+    rng = np.random.default_rng(3)
+    n, c = 100, 3
+    coords = np.tile(rng.integers(0, 4, (n // 2, 3)), (2, 1)).astype(np.float32)
+    colors = np.full((n, 3), 50.0, np.float32)
+    time = np.repeat(np.array([0.0, 40.0], np.float32), n // 2)
+    unaries = np.zeros((n, c), np.float32)
+    unaries[: n // 2, 1] = 2.0  # frame 0 -> class 1
+    unaries[n // 2:, 2] = 2.0   # frame 1 -> class 2
+    mask = np.ones(n, np.float32)
+
+    crf = MeanFieldCRF(num_classes=c, iterations=5, num_neighbors=8,
+                       temporal_sigma=0.5)
+    args = (jnp.asarray(unaries), jnp.asarray(coords), jnp.asarray(colors),
+            jnp.asarray(mask))
+    v = crf.init(jax.random.PRNGKey(0), *args, time=jnp.asarray(time))
+    with_t = np.asarray(crf.apply(v, *args, time=jnp.asarray(time)))
+    no_t = np.asarray(crf.apply(v, *args))
+    # temporal separation keeps each frame's labels intact
+    acc_t = ((with_t[: n // 2].argmax(1) == 1).mean()
+             + (with_t[n // 2:].argmax(1) == 2).mean()) / 2
+    acc_n = ((no_t[: n // 2].argmax(1) == 1).mean()
+             + (no_t[n // 2:].argmax(1) == 2).mean()) / 2
+    assert acc_t >= acc_n
+    assert acc_t == 1.0
+
+
 def test_wrapper_registry_and_forward():
     rng = np.random.default_rng(2)
     coords = make_cloud(rng, n=150)

@@ -99,6 +99,106 @@ def test_contrastive_language_loss_pulls_and_pushes():
     assert float(la) < float(lr_)
 
 
+def test_latent_attribute_augmentation_semantics():
+    """Reference math (ContrastiveLanguageLoss.py:61-69,161-166): eligible
+    categories' features rotate through one attribute head; pos_slot points
+    at the attributed anchor (a+1); non-eligible points untouched."""
+    from languagegroundedsemseg_tpu.losses.contrastive import latent_attribute_augmentation
+
+    rng = np.random.default_rng(0)
+    d, a, c = 8, 3, 4
+    feats = rng.normal(size=(40, d)).astype(np.float32)
+    labels = (np.arange(40) % c).astype(np.int32)
+    labels[-2:] = 255  # ignored rows never augment
+    proj = rng.normal(size=(a, d, d)).astype(np.float32)
+    tail = np.array([False, False, True, True])
+    out, slot = latent_attribute_augmentation(
+        jax.random.PRNGKey(1), jnp.asarray(feats), jnp.asarray(labels),
+        jnp.asarray(proj), jnp.asarray(tail), aug_prob=1.0,
+    )
+    out, slot = np.asarray(out), np.asarray(slot)
+    valid = labels != 255
+    for i in np.nonzero(valid)[0]:
+        if tail[labels[i]]:
+            assert 1 <= slot[i] <= a
+            np.testing.assert_allclose(
+                out[i], feats[i] @ proj[slot[i] - 1], rtol=1e-4, atol=1e-5
+            )
+        else:
+            assert slot[i] == 0
+            np.testing.assert_array_equal(out[i], feats[i])
+    # same category -> same attribute draw (the reference augments per group)
+    for cat in (2, 3):
+        s = slot[valid & (labels == cat)]
+        assert (s == s[0]).all()
+    assert (slot[~valid] == 0).all()
+    # prob 0 -> identity
+    out0, slot0 = latent_attribute_augmentation(
+        jax.random.PRNGKey(1), jnp.asarray(feats), jnp.asarray(labels),
+        jnp.asarray(proj), jnp.asarray(tail), aug_prob=0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(out0), feats)
+    assert (np.asarray(slot0) == 0).all()
+
+
+def test_contrastive_loss_uses_attributed_anchor_slot():
+    """pos_slot routes positives to anchors[:, slot]; features sitting on the
+    attributed anchor then give ~zero positive loss while slot-0 positives
+    would not."""
+    rng = np.random.default_rng(5)
+    c, a, d = 4, 3, 16
+    anchors = rng.normal(size=(c, a, d)).astype(np.float32)
+    anchors /= np.linalg.norm(anchors, axis=-1, keepdims=True)
+    labels = np.array([0, 1, 2, 3] * 10, np.int32)
+    slot = np.full(40, 2, np.int32)  # all points use attributed slot 2
+    feats = anchors[labels, 2]  # exactly on the attributed anchors
+    _, pos_att, _ = contrastive_language_loss(
+        jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(labels),
+        jnp.asarray(anchors), pos_slot=jnp.asarray(slot),
+    )
+    _, pos_raw, _ = contrastive_language_loss(
+        jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(labels),
+        jnp.asarray(anchors),
+    )
+    assert float(np.asarray(pos_att).max()) < 1e-5
+    assert float(np.asarray(pos_raw).mean()) > 0.1
+
+
+def test_representation_objective_latent_path():
+    """config.instance_augmentation == 'latent' alters the loss exactly when
+    attributed anchors + projection weights are supplied (VERDICT #8)."""
+    from languagegroundedsemseg_tpu.config import Config
+    from languagegroundedsemseg_tpu.train.objectives import make_representation_objective
+    from languagegroundedsemseg_tpu.train.step import TrainBatch
+
+    rng = np.random.default_rng(7)
+    c, a, d, n = 6, 9, 16, 64
+    anchors = rng.normal(size=(c, a, d)).astype(np.float32)
+    proj = rng.normal(size=(a - 1, d, d)).astype(np.float32)
+    split = np.zeros((c, 3), bool)
+    split[4:, 2] = True  # two tail categories
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+    labels = (np.arange(n) % c).astype(np.int32)
+
+    class B:  # minimal TrainBatch stand-in (objective touches .labels only)
+        pass
+
+    batch = B()
+    batch.labels = jnp.asarray(labels)
+    row_mask = jnp.ones(n, np.float32)
+    key = jax.random.PRNGKey(0)
+
+    cfg_lat = Config(instance_augmentation="latent",
+                     instance_augmentation_color_aug_prob=1.0)
+    cfg_raw = Config()
+    obj_lat = make_representation_objective(cfg_lat, anchors, split, projection_w=proj)
+    obj_raw = make_representation_objective(cfg_raw, anchors, split)
+    l_lat, _ = obj_lat(jnp.asarray(feats), None, batch, key, row_mask)
+    l_raw, _ = obj_raw(jnp.asarray(feats), None, batch, key, row_mask)
+    assert np.isfinite(float(l_lat)) and np.isfinite(float(l_raw))
+    assert abs(float(l_lat) - float(l_raw)) > 1e-6
+
+
 def test_feature_sim_classifies_aligned_features():
     rng = np.random.default_rng(4)
     anchors = rng.normal(size=(10, 32)).astype(np.float32)

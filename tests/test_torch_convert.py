@@ -7,8 +7,47 @@ import jax.numpy as jnp
 from languagegroundedsemseg_tpu.models.res16unet import Res16UNet14A, res16unet_graph_spec
 from languagegroundedsemseg_tpu.sparse import build_graph
 from languagegroundedsemseg_tpu.sparse.graph_host import default_capacities, pack_keys
-from languagegroundedsemseg_tpu.train.checkpoints import torch_to_flax_params
+from languagegroundedsemseg_tpu.train.checkpoints import (
+    me_kernel_permutation,
+    torch_to_flax_params,
+)
 from oracles import make_cloud
+
+
+def test_me_kernel_permutation_is_axis_reversal():
+    """ME enumerates cube offsets first-axis-fastest; ours last-axis-fastest
+    (sparse/offsets.py itertools.product). The derived permutation must map
+    slot k of an ME kernel onto the slot whose canonical offset matches."""
+    import itertools
+
+    from languagegroundedsemseg_tpu.sparse.offsets import hypercube_offsets
+
+    for k in (2, 3, 5):
+        ours = hypercube_offsets(k, d=3)  # (K, 3), z fastest
+        per_axis = sorted(set(ours[:, 0].tolist()))
+        # ME order: x fastest == product with reversed axis nesting
+        me = np.array(
+            [(x, y, z) for z, y, x in itertools.product(per_axis, per_axis, per_axis)],
+            np.int32,
+        )
+        perm = me_kernel_permutation(k**3)
+        assert perm is not None
+        np.testing.assert_array_equal(me[perm], ours)
+    assert me_kernel_permutation(7) is None  # hypercross: not a cube
+    assert me_kernel_permutation(1) is None  # pointwise: identity anyway
+
+
+def test_me_permutation_applied_to_3d_kernels():
+    """torch_to_flax_params default ('me') reorders 27-slot kernels."""
+    sd = {"conv0p1s1.kernel": np.arange(27, dtype=np.float32)[:, None, None] * np.ones((27, 3, 32), np.float32)}
+    tmpl = {"conv0p1s1": {"kernel": np.zeros((27, 3, 32), np.float32)}}
+    from flax.core import FrozenDict
+
+    params, _, skipped = torch_to_flax_params(sd, FrozenDict(tmpl), FrozenDict({}))
+    assert not skipped
+    got = np.asarray(params["conv0p1s1"]["kernel"])[:, 0, 0]
+    perm = me_kernel_permutation(27)
+    np.testing.assert_array_equal(got, perm.astype(np.float32))
 
 
 def test_torch_state_dict_maps_onto_flax_tree():

@@ -41,6 +41,20 @@ def test_baseline_trainer_fit_and_validate(tmp_path):
 
     assert glob.glob(str(tmp_path / "run" / "last_step=*.ckpt"))
     assert glob.glob(str(tmp_path / "run" / "best_val_miou*.ckpt"))
+    # TensorBoard events written alongside metrics.jsonl (reference main.py:178)
+    if tr.tb.active:
+        assert glob.glob(str(tmp_path / "run" / "events.out.tfevents.*"))
+
+
+def test_profiler_trace_capture(tmp_path):
+    cfg = _cfg(log_dir=str(tmp_path / "run"), profile=True,
+               profile_start_step=1, profile_num_steps=1, tensorboard=False)
+    tr = Trainer(cfg)
+    tr.fit(max_epochs=1, max_steps_per_epoch=3)
+    assert tr.profiler.captured
+    import glob
+
+    assert glob.glob(str(tmp_path / "run" / "plugins" / "profile" / "*"))
 
 
 def test_representation_trainer_step(tmp_path):

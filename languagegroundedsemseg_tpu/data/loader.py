@@ -127,9 +127,12 @@ class DataLoader:
 
     def __len__(self):
         per_step = self.batch_size * self.num_devices
-        return max(len(self.dataset) // per_step, 1) if len(self.dataset) else 0
+        if not len(self.dataset):
+            return 0
+        # wrap-around padding -> ceil (torch DistributedSampler total_size)
+        return max(-(-len(self.dataset) // per_step), 1)
 
-    def _index_stream(self):
+    def _epoch_orders(self):
         while True:
             # Epoch folded into the shuffle RNG: a fresh order every epoch
             # (torch DistributedSampler.set_epoch semantics).
@@ -137,7 +140,7 @@ class DataLoader:
             order = np.arange(len(self.dataset))
             if self.shuffle:
                 rng.shuffle(order)
-            yield from order
+            yield order
             self.epoch += 1
             if not self.repeat:
                 return
@@ -178,8 +181,7 @@ class DataLoader:
         return b
 
     def __iter__(self) -> Iterator:
-        stream = self._index_stream()
-        per_batch = self.batch_size
+        per_step = self.batch_size * self.num_devices
         n_dev = self.num_devices
         # Queue of in-flight futures, in submission order. maxsize bounds the
         # number of batches being built/held at once.
@@ -191,22 +193,25 @@ class DataLoader:
 
         def feeder():
             try:
-                while not stop.is_set():
-                    index_groups = []
-                    for _ in range(n_dev):
-                        indices = []
-                        for _ in range(per_batch):
-                            try:
-                                indices.append(next(stream))
-                            except StopIteration:
-                                break
-                        if indices:
-                            index_groups.append(indices)
-                    if len(index_groups) < n_dev:
-                        return  # stream exhausted (partial multi-device steps drop)
-                    base = self._batch_counter
-                    self._batch_counter += n_dev
-                    fut_q.put(pool.submit(self._build_group, index_groups, base))
+                for order in self._epoch_orders():
+                    if stop.is_set() or not len(order):
+                        return
+                    # Pad the epoch to a whole number of per-step groups by
+                    # wrapping around (torch DistributedSampler semantics:
+                    # duplicates <= per_step-1 scenes instead of dropping).
+                    total = -(-len(order) // per_step) * per_step
+                    padded = np.resize(order, total)
+                    for start in range(0, total, per_step):
+                        if stop.is_set():
+                            return
+                        group = padded[start:start + per_step].reshape(
+                            n_dev, self.batch_size
+                        )
+                        base = self._batch_counter
+                        self._batch_counter += n_dev
+                        fut_q.put(pool.submit(
+                            self._build_group, [list(g) for g in group], base
+                        ))
             except BaseException as e:  # index-stream/submit errors -> consumer
                 fut_q.put(e)
             finally:

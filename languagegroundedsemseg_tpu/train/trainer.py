@@ -29,7 +29,11 @@ from languagegroundedsemseg_tpu.data.loader import initialize_data_loader, load_
 from languagegroundedsemseg_tpu.eval.miou import IoUEvaluator, fast_hist_jax
 from languagegroundedsemseg_tpu.losses.contrastive import feature_sim
 from languagegroundedsemseg_tpu.models import load_model
-from languagegroundedsemseg_tpu.parallel.dp import shard_train_step, stack_batches
+from languagegroundedsemseg_tpu.parallel.dp import (
+    shard_eval_step,
+    shard_train_step,
+    stack_batches,
+)
 from languagegroundedsemseg_tpu.parallel.mesh import make_mesh
 from languagegroundedsemseg_tpu.train.checkpoints import (
     CheckpointManager,
@@ -77,7 +81,7 @@ class Trainer:
             self.DatasetClass, config, config.val_phase,
             num_workers=config.num_val_workers, shuffle=False, repeat=False,
             augment_data=False, batch_size=config.val_batch_size,
-            limit_numpoints=config.train_limit_numpoints, num_devices=1,
+            limit_numpoints=config.train_limit_numpoints, num_devices=self.n_dev,
         )
         self.dataset = self.train_loader.dataset
         self.num_labels = self.dataset.num_train_labels
@@ -184,7 +188,14 @@ class Trainer:
         self.p_train_step = (
             jax.jit(step) if self.mesh is None else shard_train_step(step, self.mesh)
         )
-        self.p_eval_metrics = jax.jit(self._eval_metrics_fn)
+        # Validation runs sharded over the same mesh as training (reference
+        # DDP validates on all ranks; see parallel/dp.py:shard_eval_step) —
+        # outputs come back stacked on a leading device axis.
+        self.p_eval_metrics = (
+            jax.jit(self._eval_metrics_fn)
+            if self.mesh is None
+            else shard_eval_step(self._eval_metrics_fn, self.mesh)
+        )
 
         monitors = {"val_miou": "max"}
         if self.mode == "representation":
@@ -389,16 +400,32 @@ class Trainer:
             if max_batches is not None and i >= max_batches:
                 break
             hist, loss, pred, tp, fp = self.p_eval_metrics(self.state, batch)
-            ev.update_hist(np.asarray(hist))
-            tp_acc += np.asarray(tp)
-            fp_acc += np.asarray(fp)
+            hist, loss, pred, tp, fp = (
+                np.asarray(hist), np.asarray(loss), np.asarray(pred),
+                np.asarray(tp), np.asarray(fp),
+            )
+            if self.mesh is not None:  # stacked (n_dev, ...) outputs
+                hist, tp, fp = hist.sum(0), tp.sum(0), fp.sum(0)
+                loss = float(loss.mean())
+            ev.update_hist(hist)
+            tp_acc += tp
+            fp_acc += fp
             losses += float(loss)
             count += 1
             if save_predictions_dir:
-                self._dump_batch_predictions(
-                    batch, pred, save_predictions_dir,
-                    scene_base=i * self.val_loader.batch_size,
-                )
+                bs = self.val_loader.batch_size
+                if self.mesh is None:
+                    self._dump_batch_predictions(
+                        batch, pred, save_predictions_dir,
+                        scene_base=i * bs,
+                    )
+                else:
+                    for k in range(self.n_dev):
+                        dev_batch = jax.tree_util.tree_map(lambda x: x[k], batch)
+                        self._dump_batch_predictions(
+                            dev_batch, pred[k], save_predictions_dir,
+                            scene_base=(i * self.n_dev + k) * bs,
+                        )
         m = ev.compute()
         aps = ap_from_histograms(tp_acc, fp_acc)
         out = {

@@ -11,9 +11,12 @@ import numpy as np
 
 from languagegroundedsemseg_tpu.data.dataset import DatasetPhase, VoxelizationDataset
 
+# Alphabetical 14-class id space (the SpatioTemporalSegmentation recipe the
+# reference inherits): index 10 = stairs, dropped via IGNORE_LABELS
+# (reference stanford.py:20-24 "remove stairs, following SegCloud").
 CLASSES = [
-    "clutter", "beam", "board", "bookcase", "ceiling", "chair", "column",
-    "door", "floor", "sofa", "table", "wall", "window",
+    "beam", "board", "bookcase", "ceiling", "chair", "clutter", "column",
+    "door", "floor", "sofa", "stairs", "table", "wall", "window",
 ]
 
 

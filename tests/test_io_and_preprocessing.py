@@ -61,6 +61,54 @@ def test_limited_annotation_mask_ratio():
     assert keep[350:].sum() == 0  # unassigned points never annotated
 
 
+def test_stanford_preprocessing_rooms_and_splits(tmp_path):
+    from languagegroundedsemseg_tpu.data.preprocessing.stanford import main as pp_main
+    from languagegroundedsemseg_tpu.data.stanford import CLASSES
+    from languagegroundedsemseg_tpu.utils.ply import read_ply_cloud
+
+    rng = np.random.default_rng(0)
+    raw = tmp_path / "raw"
+    for area, room in (("Area_1", "office_1"), ("Area_5", "hallway_2")):
+        ann = raw / area / room / "Annotations"
+        ann.mkdir(parents=True)
+        for inst, cls in (("chair_1", "chair"), ("wall_3", "wall")):
+            pts = np.c_[rng.normal(size=(20, 3)), rng.integers(0, 256, (20, 3))]
+            np.savetxt(str(ann / f"{inst}.txt"), pts, fmt="%.3f")
+    # a malformed line must be dropped, not crash (Area_5/hallway_6 quirk)
+    with open(raw / "Area_1" / "office_1" / "Annotations" / "board_1.txt", "w") as f:
+        f.write("1.0 2.0 3.0 10 20 30\n1.0 2.0 \x1b3.0 10 20 30\n")
+
+    out = tmp_path / "out"
+    pp_main(["--input", str(raw), "--output", str(out)])
+
+    xyz, rgb, labels, _ = read_ply_cloud(str(out / "Area_1" / "office_1.ply"))
+    assert len(xyz) == 41  # 20 chair + 20 wall + 1 good board line
+    ids = set(np.unique(labels).tolist())
+    assert ids == {CLASSES.index("chair"), CLASSES.index("wall"), CLASSES.index("board")}
+    train = (out / "area1245.txt").read_text().split()
+    val = (out / "area5.txt").read_text().split()
+    assert train == ["Area_1/office_1.ply"]
+    assert val == ["Area_5/hallway_2.ply"]
+
+
+def test_camera_project_backproject_roundtrip():
+    from languagegroundedsemseg_tpu.utils.camera import Camera
+
+    cam = Camera({"focal_length": 500.0, "pp_x": 32.0, "pp_y": 24.0})
+    depth = np.zeros((48, 64), np.float32)
+    depth[10, 20] = 200.0
+    depth[30, 40] = 350.0
+    pts = cam.backproject(depth)
+    assert pts.shape == (2, 6)
+    # projecting the backprojected points lands on the source pixels
+    uvz = cam.project(pts[:, :3])
+    np.testing.assert_allclose(uvz[:, 0], [20, 40], atol=1e-4)
+    np.testing.assert_allclose(uvz[:, 1], [10, 30], atol=1e-4)
+    np.testing.assert_allclose(uvz[:, 2], [200, 350], atol=1e-3)
+    # pruning: max_depth drops the far point
+    assert cam.backproject(depth, max_depth=250.0).shape[0] == 1
+
+
 def test_process_scene_insseg_writes_pth(tmp_path):
     # build a minimal fake scene dir
     scene = tmp_path / "scene0000_00"

@@ -34,6 +34,19 @@ def main(argv=None):
     mode = select_mode(config)
     logging.info("mode=%s model=%s dataset=%s", mode, config.model, config.dataset)
 
+    if mode == "insseg":
+        # Downstream instance segmentation (reference ddp_main.py entry):
+        # dataset registry classes with "Instance" route here.
+        from languagegroundedsemseg_tpu.insseg.dataset import load_instance_dataset
+        from languagegroundedsemseg_tpu.insseg.trainer import InssegTrainer
+
+        trainer = InssegTrainer(config, dataset_cls=load_instance_dataset(config.dataset))
+        if config.is_train:
+            trainer.fit(max_steps=int(config.max_iter))
+        metrics = trainer.validate()
+        logging.info("final metrics: %s", metrics)
+        return metrics
+
     trainer = Trainer(config)
     if config.is_train:
         trainer.fit()

@@ -163,3 +163,22 @@ class SyntheticInstanceDataset(InstanceVoxelizationDataset):
             return_instances=True,
         )
         return xyz, rgb, labels, inst, self.data_paths[index]
+
+
+_INSTANCE_DATASETS = {
+    c.__name__: c
+    for c in (
+        ScannetInstance2cmDataset,
+        Scannet200Instance2cmDataset,
+        SyntheticInstanceDataset,
+    )
+}
+
+
+def load_instance_dataset(name: str):
+    """Instance-dataset registry for the CLI insseg mode."""
+    if name not in _INSTANCE_DATASETS:
+        raise KeyError(
+            f"unknown instance dataset {name!r}; have {sorted(_INSTANCE_DATASETS)}"
+        )
+    return _INSTANCE_DATASETS[name]

@@ -50,6 +50,8 @@ from languagegroundedsemseg_tpu.train.step import make_train_step
 
 
 def select_mode(config: Config) -> str:
+    if "Instance" in config.dataset:
+        return "insseg"
     if config.use_embedding_loss and config.use_embedding_loss != "both":
         return "representation"
     if "Classifier" in config.model:

@@ -26,6 +26,7 @@ def test_mode_selection():
     assert select_mode(_cfg(use_embedding_loss="contrastive")) == "representation"
     assert select_mode(_cfg(use_embedding_loss="both")) == "baseline"
     assert select_mode(_cfg(model="ClassifierNet")) == "classifier"
+    assert select_mode(_cfg(dataset="Scannet200Instance2cmDataset")) == "insseg"
 
 
 def test_baseline_trainer_fit_and_validate(tmp_path):

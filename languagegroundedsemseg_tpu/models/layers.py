@@ -16,13 +16,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from languagegroundedsemseg_tpu.ops.msconv import masked_shift_conv
 from languagegroundedsemseg_tpu.ops.spconv import (
     pointwise_conv,
     sparse_conv,
-    sparse_conv_grouped,
     sparse_conv_parent,
 )
-from languagegroundedsemseg_tpu.sparse.types import GroupedKernelMap, ParentMap
+from languagegroundedsemseg_tpu.sparse.types import MaskedShiftMap, ParentMap
 from languagegroundedsemseg_tpu.ops.segment import batch_broadcast, batch_mean
 from languagegroundedsemseg_tpu.sparse.types import ConvGraph
 
@@ -68,17 +68,20 @@ class SparseConv(nn.Module):
         bd = None if b is None else b.astype(self.dtype)
         km = graph.maps[self.map_name]
         gm = graph.gmaps.get(self.map_name) if graph.gmaps else None
-        if isinstance(gm, ParentMap):
-            # gather-only backward via the companion down map when present
-            comp = graph.maps.get(gm.companion) if gm.companion else None
-            return sparse_conv_parent(xd, wd, gm, bd, idx_down=None if comp is None else comp.idx)
-        if isinstance(gm, GroupedKernelMap):
-            return sparse_conv_grouped(xd, wd, gm, bd)
         companion_parent = None
         if km.companion:
             cpm = graph.gmaps.get(km.companion)
             if isinstance(cpm, ParentMap):
                 companion_parent = (cpm.parent, cpm.kslot)
+        if isinstance(gm, ParentMap):
+            # gather-only backward via the companion down map's flat table
+            comp = graph.maps.get(gm.companion) if gm.companion else None
+            idx_down = comp.idx if comp is not None and comp.idx.shape[1] > 1 else None
+            return sparse_conv_parent(xd, wd, gm, bd, idx_down=idx_down)
+        if isinstance(gm, MaskedShiftMap):
+            out = masked_shift_conv(xd, wd, gm, bd)
+            if out is not None:
+                return out
         return sparse_conv(
             xd, wd, idx, bd,
             center_slot=km.center_slot,

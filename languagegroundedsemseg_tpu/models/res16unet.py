@@ -33,15 +33,26 @@ NUM_LEVELS = 5  # strides 1, 2, 4, 8, 16
 
 
 def res16unet_graph_spec(conv1_kernel_size: int = 3, d: int = 3) -> GraphSpec:
-    """All kernel maps any Res16UNet variant needs."""
+    """All kernel maps any Res16UNet variant needs.
+
+    Every stride-1 k3 map gets the masked-shift fusion (fuse_width=3,
+    ops/msconv.py): 8 fused gathered rows + leftover COO instead of 26 flat
+    rows per voxel. The flat table ships alongside (keep_flat default): at
+    runtime each conv falls back to it when its T3 table would exceed the
+    fast-table byte budget (wide decoder channels at the big levels).
+    Down/up k2s2 maps stay flat + ParentMap (small row counts; the up
+    conv's backward routes dX through the companion's flat table).
+    """
     maps = {}
     for l in range(NUM_LEVELS):
-        maps[f"l{l}.k3"] = MapSpec(l, l, ConvKind(kernel_size=3))
+        maps[f"l{l}.k3"] = MapSpec(l, l, ConvKind(kernel_size=3), fuse_width=3)
     if conv1_kernel_size != 3:
-        maps[f"l0.k{conv1_kernel_size}"] = MapSpec(0, 0, ConvKind(kernel_size=conv1_kernel_size))
+        maps[f"l0.k{conv1_kernel_size}"] = MapSpec(
+            0, 0, ConvKind(kernel_size=conv1_kernel_size),
+        )
     for l in range(NUM_LEVELS - 1):
         maps[f"down{l}"] = MapSpec(
-            l, l + 1, ConvKind(kernel_size=2, stride=2), companion=f"up{l + 1}"
+            l, l + 1, ConvKind(kernel_size=2, stride=2), companion=f"up{l + 1}",
         )
     for l in range(1, NUM_LEVELS):
         maps[f"up{l}"] = MapSpec(

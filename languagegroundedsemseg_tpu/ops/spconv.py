@@ -248,98 +248,7 @@ def _parent_cidx_bwd(res, g_out):
 _parent_core_cidx.defvjp(_parent_cidx_fwd, _parent_cidx_bwd)
 
 
-# ---- Z-run fused (grouped) sparse conv ------------------------------------
-#
-# Offsets grouped by (dx, dy) column: the <=3 z-neighbors of an output voxel
-# occupy contiguous sorted rows of the input level, so one wide gather from
-# x3 = [roll(x,1) | x | roll(x,-1)] serves a whole column, and the stride-1
-# center column needs no gather at all. 27 row-gathers -> 8 wide gathers.
-# Backward scatters are fused the same way (one 3C-wide scatter per column).
-
-
-def _make_x3(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.concatenate(
-        [jnp.roll(x, 1, axis=0), x, jnp.roll(x, -1, axis=0)], axis=1
-    )
-
-
-def _pick(g3: jnp.ndarray, sel: jnp.ndarray, c: int) -> jnp.ndarray:
-    """Select the sel-th C-wide column block of g3 per row (3 = zeros)."""
-    z = jnp.zeros((), g3.dtype)
-    return jnp.where(
-        (sel == 0)[:, None],
-        g3[:, :c],
-        jnp.where(
-            (sel == 1)[:, None],
-            g3[:, c : 2 * c],
-            jnp.where((sel == 2)[:, None], g3[:, 2 * c :], z),
-        ),
-    )
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _grouped_core(x, w, base, sel, slots, identity):
-    return _grouped_fwd_impl(x, w, base, sel, slots, identity)
-
-
-def _grouped_fwd_impl(x, w, base, sel, slots, identity):
-    c = x.shape[1]
-    n_out = base.shape[1]
-    x3 = _make_x3(x)
-    acc = jnp.zeros((n_out, w.shape[2]), jnp.float32)
-    for gi, ks in enumerate(slots):
-        g3 = x3 if identity[gi] else jnp.take(x3, base[gi], axis=0)
-        for j, k in enumerate(ks):
-            p = _pick(g3, sel[gi, j], c)
-            acc = acc + jnp.dot(p, w[k], preferred_element_type=jnp.float32)
-    return acc.astype(x.dtype)
-
-
-def _grouped_fwd(x, w, base, sel, slots, identity):
-    return _grouped_fwd_impl(x, w, base, sel, slots, identity), (x, w, base, sel)
-
-
-def _grouped_bwd(slots, identity, res, g_out):
-    x, w, base, sel = res
-    c = x.shape[1]
-    n_in = x.shape[0]
-    g32 = g_out.astype(jnp.float32)
-    x3 = _make_x3(x)
-    dx3 = jnp.zeros((n_in, 3 * c), jnp.float32)
-    dws = [jnp.zeros(w.shape[1:], jnp.float32) for _ in range(w.shape[0])]
-    for gi, ks in enumerate(slots):
-        ident = identity[gi]
-        g3 = x3 if ident else jnp.take(x3, base[gi], axis=0)
-        z3_parts = [jnp.zeros((base.shape[1], c), jnp.float32) for _ in range(3)]
-        for j, k in enumerate(ks):
-            s = sel[gi, j]
-            p = _pick(g3, s, c).astype(jnp.float32)
-            dws[k] = dws[k] + jnp.dot(p.T, g32, preferred_element_type=jnp.float32)
-            contrib = jnp.dot(g32, w[k].astype(jnp.float32).T, preferred_element_type=jnp.float32)
-            for si in range(3):
-                z3_parts[si] = z3_parts[si] + jnp.where((s == si)[:, None], contrib, 0.0)
-        z3 = jnp.concatenate(z3_parts, axis=1)
-        if ident:
-            dx3 = dx3 + z3
-        else:
-            dx3 = dx3.at[base[gi]].add(z3, mode="drop")
-    dx = (
-        jnp.roll(dx3[:, :c], -1, axis=0)
-        + dx3[:, c : 2 * c]
-        + jnp.roll(dx3[:, 2 * c :], 1, axis=0)
-    )
-    return dx.astype(x.dtype), jnp.stack(dws).astype(w.dtype), None, None
-
-
-_grouped_core.defvjp(_grouped_fwd, _grouped_bwd)
-
-
-def sparse_conv_grouped(x, w, gmap, bias=None):
-    """Apply a sparse conv through a GroupedKernelMap (see sparse/types.py)."""
-    out = _grouped_core(x, w, gmap.base, gmap.sel, gmap.slots, gmap.identity)
-    if bias is not None:
-        out = out + bias
-    return out
+# ---- Masked-shift fused sparse conv lives in ops/msconv.py -----------------
 
 
 # ---- Parent-map conv (k2s2 transpose: one contributor per output row) ------

@@ -23,8 +23,8 @@ import numpy as np
 from languagegroundedsemseg_tpu.sparse.offsets import ConvKind, region_offsets
 from languagegroundedsemseg_tpu.sparse.types import (
     ConvGraph,
-    GroupedKernelMap,
     KernelMap,
+    MaskedShiftMap,
     ParentMap,
     SparseLevel,
 )
@@ -163,6 +163,14 @@ class MapSpec:
     level_out: int
     kind: ConvKind
     companion: Optional[str] = None
+    # z-run fusion width for this map's consumers: 3 when 3*C <= 128 lane
+    # elements, 2 when 2*C <= 128, else 1 (flat). Set from the model's known
+    # channel widths (the gather fast path is capped at 128-element rows).
+    fuse_width: int = 1
+    # ship the flat (K, cap) table alongside the fused one: required when the
+    # map has consumers whose channel width exceeds the fused fast path
+    # (e.g. l1.k3 serves both the C=32 encoder and the C=96 decoder)
+    keep_flat: bool = True
 
 
 def _mirror_permutation(offs: np.ndarray) -> Optional[tuple]:
@@ -287,13 +295,13 @@ def _kernel_map(
     return idx
 
 
-def _group_offset_runs(offs: np.ndarray, z_step: int):
+def _group_offset_runs(offs: np.ndarray, z_step: int, w_max: int = 5):
     """Group kernel offsets by their non-z prefix; split each column into
     maximal runs of consecutive z-offsets (step == the input level's tensor
     stride, which is the condition for the neighbors to occupy contiguous
-    sorted rows), then chunk runs to length <= 3 (the x3 window width).
+    sorted rows), then chunk runs to length <= w_max (the xw window width).
 
-    Returns a list of slot-index lists in ascending-dz order.
+    Returns a list of (dz_list, slot_list) with slots in ascending-dz order.
     """
     cols: dict = {}
     for k, o in enumerate(offs):
@@ -310,51 +318,109 @@ def _group_offset_runs(offs: np.ndarray, z_step: int):
                 run = [(dz, k)]
         runs.append(run)
         for r in runs:
-            for i in range(0, len(r), 3):
-                groups.append([k for _, k in r[i : i + 3]])
+            for i in range(0, len(r), w_max):
+                chunk = r[i : i + w_max]
+                groups.append(([dz for dz, _ in chunk], [k for _, k in chunk]))
     return groups
 
 
-def _try_grouped_map(
-    idx: np.ndarray, offs: np.ndarray, z_step: int, identity_ok: bool
-) -> Optional[GroupedKernelMap]:
-    """Fuse a flat (K, cap) map into a GroupedKernelMap, or None if the
-    contiguity invariant doesn't hold (defensive fallback)."""
-    groups = _group_offset_runs(offs, z_step)
-    if all(len(g) == 1 for g in groups):
-        return None  # nothing fused — flat map is as good
-    g_count, s_max = len(groups), max(len(g) for g in groups)
-    n = idx.shape[1]
-    base = np.zeros((g_count, n), np.int32)
-    sel = np.full((g_count, s_max, n), 3, np.int32)
-    identity, slots = [], []
-    arange = np.arange(n, dtype=np.int64)
-    for gi, ks in enumerate(groups):
-        sub = idx[ks].astype(np.int64)  # (m, n)
-        valid = sub >= 0
-        m = len(ks)
-        prio = [m // 2] + [j for j in range(m) if j != m // 2] if m == 3 else list(range(m))
-        b = np.full(n, -1, np.int64)
-        for a in reversed(prio):
-            b = np.where(valid[a], sub[a], b)
-        has = b >= 0
-        bb = np.where(has, b, 0)
-        s = np.where(valid, sub - bb[None, :] + 1, 3)
-        if valid.any():
-            sv = s[valid]
-            if sv.min() < 0 or sv.max() > 2:
-                return None
-        base[gi] = bb.astype(np.int32)
-        sel[gi, :m] = s.astype(np.int32)
-        ident = (
-            identity_ok
-            and bool((offs[ks][:, :-1] == 0).all())
-            and bool(np.array_equal(bb[has], arange[has]))
-        )
-        identity.append(ident)
-        slots.append(tuple(int(k) for k in ks))
-    return GroupedKernelMap(
-        base=base, sel=sel, slots=tuple(slots), identity=tuple(identity)
+def _try_masked_shift_map(
+    idx: np.ndarray,
+    offs: np.ndarray,
+    z_step: int,
+    width: int,
+    n_in: int,
+    mirror_perm=None,
+    companion=None,
+    leftover_ratio: float = 1.75,
+) -> "Optional[MaskedShiftMap]":
+    """Fuse a flat stride-1 k3 map into a MaskedShiftMap (ops/msconv.py),
+    or None when the map's shape doesn't fit (non-3-z-columns, asymmetric
+    region, in != out sets), the sorted z-contiguity invariant fails, or
+    the leftover COO overflows leftover_ratio * cap (defensive fallbacks —
+    the flat path is always correct).
+
+    Everything derives from the flat table itself: a column's anchors are
+    its dz=0 slot's rows; mp/mn come from the center column's dz=-1/+1
+    slots (whose valid entries are exactly the physically-adjacent rows,
+    asserted here); leftovers are the (o, c) pairs whose dz=0 entry is
+    missing but a dz=+-1 entry exists.
+    """
+    if int(width) < 3 or mirror_perm is None:
+        return None
+    groups = _group_offset_runs(offs, z_step, w_max=3)
+    if any(len(ks) != 3 for _, ks in groups):
+        return None
+    cap = idx.shape[1]
+    center_col = None
+    cols = []
+    for dzs, ks in groups:
+        col_off = offs[ks[1]][:-1]
+        if not col_off.any():
+            center_col = tuple(int(k) for k in ks)
+        else:
+            cols.append(tuple(int(k) for k in ks))
+    if center_col is None:
+        return None
+
+    kAc, kBc, kCc = center_col
+    # center dz=0 must be the identity (in == out coordinate sets)
+    vB = idx[kBc] >= 0
+    rows = np.arange(cap, dtype=np.int64)
+    n_valid = int(vB.sum())
+    if not np.array_equal(np.nonzero(vB)[0], rows[:n_valid]):
+        return None
+    if np.any(idx[kBc][:n_valid] != rows[:n_valid]):
+        return None
+    # masks from the center column's z-neighbors; assert physical adjacency
+    a = idx[kAc].astype(np.int64)
+    c = idx[kCc].astype(np.int64)
+    if np.any((a >= 0) & (a != rows - 1)) or np.any((c >= 0) & (c != rows + 1)):
+        return None
+    mp = (a >= 0).astype(np.float32)
+    mn = (c >= 0).astype(np.float32)
+
+    anchors = np.empty((len(cols), cap), np.int32)
+    lo_in, lo_out, lo_slot = [], [], []
+    for gi, (kA, kB, kC) in enumerate(cols):
+        b = idx[kB].astype(np.int64)
+        bv = b >= 0
+        anchors[gi] = np.where(bv, b, cap).astype(np.int32)
+        # anchored triples read physical neighbors; contiguity assert
+        av, cv = idx[kA] >= 0, idx[kC] >= 0
+        if np.any(av & bv & (idx[kA] != b - 1)) or np.any(cv & bv & (idx[kC] != b + 1)):
+            return None
+        # the masks must not zero a true co-valid neighbor at the anchor
+        if np.any(av & bv & (mp[np.where(bv, b, 0)] == 0)):
+            return None
+        if np.any(cv & bv & (mn[np.where(bv, b, 0)] == 0)):
+            return None
+        for kk, vv in ((kA, av & ~bv), (kC, cv & ~bv)):
+            o = np.nonzero(vv)[0]
+            lo_out.append(o)
+            lo_in.append(idx[kk][o])
+            lo_slot.append(np.full(len(o), kk, np.int32))
+
+    cap_l = int(leftover_ratio * cap)
+    lo_out = np.concatenate(lo_out) if lo_out else np.zeros(0, np.int64)
+    lo_in = np.concatenate(lo_in) if lo_in else np.zeros(0, np.int32)
+    lo_slot = np.concatenate(lo_slot) if lo_slot else np.zeros(0, np.int32)
+    if len(lo_out) > cap_l:
+        return None  # denser than the static leftover budget: flat fallback
+    order = np.argsort(lo_out, kind="stable")
+    pad = cap_l - len(lo_out)
+    lo_out = np.concatenate([lo_out[order], np.full(pad, cap)]).astype(np.int32)
+    lo_in = np.concatenate([lo_in[order], np.full(pad, n_in)]).astype(np.int32)
+    lo_slot = np.concatenate([lo_slot[order], np.full(pad, -1)]).astype(np.int32)
+    lo_slots = tuple(sorted({int(k) for _, ks in groups for k in (ks[0], ks[2])
+                             if k != kAc and k != kCc}))
+    return MaskedShiftMap(
+        mp=mp, mn=mn, anchors=anchors,
+        lo_in=lo_in, lo_out=lo_out, lo_slot=lo_slot,
+        cols=tuple([center_col] + cols),
+        mirror_perm=tuple(int(v) for v in mirror_perm),
+        lo_slots=lo_slots,
+        companion=companion,
     )
 
 
@@ -381,7 +447,7 @@ def build_graph(
     capacities: Sequence[int],
     as_numpy: bool = False,
     fuse: bool = True,
-    fuse_grouped: bool = False,
+    fuse_grouped: bool = True,
     drop_redundant: bool = True,
 ) -> ConvGraph:
     """Build the full ConvGraph for one batch.
@@ -461,15 +527,8 @@ def build_graph(
                 pm = _try_parent_map(idx)
                 if pm is not None:
                     gmaps[name] = dataclasses_replace_pm(pm, ms.companion)
-                    if drop_redundant:
-                        # the flat table is never consumed on device when a
-                        # ParentMap exists; don't ship ~8 x cap x 4B per map
-                        maps[name] = KernelMap(
-                            idx=np.full((idx.shape[0], 1), -1, np.int32),
-                            companion=ms.companion,
-                        )
                     continue
-            if not fuse_grouped:
+            if not fuse_grouped or ms.fuse_width < 2:
                 continue
             if ms.kind.transpose:
                 offs = -region_offsets(
@@ -479,11 +538,41 @@ def build_graph(
                 offs = region_offsets(
                     ms.kind.region, ms.kind.kernel_size, ms.kind.dilation, stride_in, spec.d
                 )
-            if isinstance(stride_in, int):
-                gm = _try_grouped_map(
-                    idx, offs, z_step=stride_in, identity_ok=ms.level_in == ms.level_out
+            if isinstance(stride_in, int) and ms.level_in == ms.level_out:
+                gm = _try_masked_shift_map(
+                    idx, offs, z_step=stride_in, width=ms.fuse_width,
+                    n_in=capacities[ms.level_in],
+                    mirror_perm=mirror, companion=ms.companion,
                 )
                 if gm is not None:
                     gmaps[name] = gm
 
+    if drop_redundant:
+        droppable = {n for n, ms in spec.maps.items() if not ms.keep_flat}
+        _drop_redundant_flat_maps(maps, gmaps, droppable)
     return ConvGraph(levels=levels, maps=maps, gmaps=gmaps)
+
+
+def _drop_redundant_flat_maps(maps: dict, gmaps: dict, droppable=None) -> None:
+    """Replace flat (K, cap) tables with 1-wide dummies wherever the device
+    path is fully served by a fused map — saves ~K x cap x 4 B of host->device
+    traffic per map. A fused map only replaces the flat path when its
+    backward is gather-only (mirror or companion ParentMap) and the spec
+    declares no wide-channel consumers (MapSpec.keep_flat)."""
+    for name, gm in gmaps.items():
+        if isinstance(gm, ParentMap):
+            served = True
+        elif isinstance(gm, MaskedShiftMap):
+            # masked-shift serves fwd+bwd itself, but wide-channel consumers
+            # fall back to the flat path at runtime (fast-table byte budget)
+            served = droppable is not None and name in droppable
+        else:
+            served = False
+        if served and maps[name].idx.shape[1] > 1:
+            old = maps[name]
+            maps[name] = KernelMap(
+                idx=np.full((old.idx.shape[0], 1), -1, np.int32),
+                center_slot=old.center_slot,
+                mirror_perm=old.mirror_perm,
+                companion=old.companion,
+            )

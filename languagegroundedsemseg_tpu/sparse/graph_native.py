@@ -79,7 +79,7 @@ def build_graph_native(
     spec: GraphSpec,
     capacities: Sequence[int],
     fuse: bool = True,
-    fuse_grouped: bool = False,
+    fuse_grouped: bool = True,
     drop_redundant: bool = True,
 ) -> ConvGraph:
     """Native-path equivalent of graph_host.build_graph (same outputs)."""
@@ -146,20 +146,21 @@ def build_graph_native(
             pm = gh._try_parent_map(idx)
             if pm is not None:
                 gmaps[name] = gh.dataclasses_replace_pm(pm, ms.companion)
-                if drop_redundant:
-                    maps[name] = KernelMap(
-                        idx=np.full((idx.shape[0], 1), -1, np.int32),
-                        companion=ms.companion,
-                    )
                 continue
-        if fuse and fuse_grouped and ms.kind.kernel_size > 1:
-            gm = gh._try_grouped_map(
-                idx, offs if not ms.kind.transpose else offs,
-                z_step=stride_in, identity_ok=ms.level_in == ms.level_out,
+        if (fuse and fuse_grouped and ms.kind.kernel_size > 1
+                and ms.fuse_width > 1 and ms.level_in == ms.level_out):
+            gm = gh._try_masked_shift_map(
+                idx, offs,
+                z_step=stride_in, width=ms.fuse_width,
+                n_in=capacities[ms.level_in],
+                mirror_perm=mirror, companion=ms.companion,
             )
             if gm is not None:
                 gmaps[name] = gm
 
+    if drop_redundant:
+        droppable = {n for n, ms in spec.maps.items() if not ms.keep_flat}
+        gh._drop_redundant_flat_maps(maps, gmaps, droppable)
     return ConvGraph(levels=levels, maps=maps, gmaps=gmaps)
 
 

@@ -78,31 +78,48 @@ class KernelMap:
 
 
 @struct.dataclass
-class GroupedKernelMap:
-    """Z-run fused kernel map: offsets grouped by their non-z prefix.
+class MaskedShiftMap:
+    """Masked-shift fused kernel map for stride-1 hypercube (k3) convs.
 
-    Within one (dx, dy) column, the (up to 3) z-offset neighbors of an output
-    voxel occupy *contiguous* rows in the sorted-key coordinate array, so one
-    wide gather from x3 = [roll(x,1) | x | roll(x,-1)] serves the whole
-    column. This cuts HBM row-gathers ~3x vs the flat (K, cap) map — the
-    row-granular gather is the TPU's sparse-conv bottleneck.
+    See ops/msconv.py for the cost model and algorithm. Sorted keys put a
+    voxel's z+-1 neighbors in its physical prev/next rows whenever they
+    exist, so the table T3 = [x_prev*mp | x | x_next*mn] serves a whole
+    (dx, dy) offset column with ONE gathered row anchored at the column's
+    dz=0 kernel-map entry; host-built masks mp/mn zero the shifted columns
+    where the physical neighbor is not the true z-neighbor. Outputs whose
+    dz=0 neighbor is missing but a dz=+-1 neighbor exists live in the
+    out-sorted COO leftover list. The symmetric region makes the backward
+    the same structure on the same tables (mirrored transposed weights).
 
-    base: (G, cap_out) int32 — anchor input row per group (0 if none valid).
-    sel: (G, S, cap_out) int32 — per dz-slot: 0/1/2 selects the x3 column
-        (prev/self/next row of base), 3 = no neighbor.
-    slots: static (G, ...) tuple of weight-slot indices per group, in dz order.
-    identity: static per-group flag — base is the identity map (the stride-1
-        center column), so the gather is skipped entirely.
+    mp, mn: (cap,) f32 in {0, 1} — physical prev/next row is the true
+        z-1 / z+1 neighbor of each row.
+    anchors: (G-1, cap) int32 — non-center columns' dz=0 map rows
+        (guard = cap, the zero row of T3).
+    lo_in / lo_out / lo_slot: (capL,) int32 out-sorted leftover COO;
+        guard entries carry in = cap, out = cap, slot = -1.
+    cols: static (G, 3) slot triples in ascending dz, center column first.
+    mirror_perm: static p with offsets[p[k]] == -offsets[k].
+    lo_slots: static tuple of slot ids occurring in the leftover COO.
     """
 
-    base: jnp.ndarray
-    sel: jnp.ndarray
-    slots: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False)
-    identity: Tuple[bool, ...] = struct.field(pytree_node=False)
+    mp: jnp.ndarray
+    mn: jnp.ndarray
+    anchors: jnp.ndarray
+    lo_in: jnp.ndarray
+    lo_out: jnp.ndarray
+    lo_slot: jnp.ndarray
+    cols: Tuple[Tuple[int, int, int], ...] = struct.field(pytree_node=False)
+    mirror_perm: Tuple[int, ...] = struct.field(pytree_node=False)
+    lo_slots: Tuple[int, ...] = struct.field(pytree_node=False)
+    companion: Optional[str] = struct.field(pytree_node=False, default=None)
 
     @property
     def out_capacity(self) -> int:
-        return self.base.shape[-1]
+        return self.mp.shape[0]
+
+    @property
+    def rows_per_voxel(self) -> float:
+        return len(self.cols) - 1 + self.lo_in.shape[0] / max(self.mp.shape[0], 1)
 
 
 @struct.dataclass
@@ -129,7 +146,7 @@ class ConvGraph:
     Built once per batch by the graph builder (host or device); reused by
     every conv in the forward/backward pass. Keys of ``maps`` are the map
     names declared in the model's GraphSpec (e.g. "l2.k3", "down1", "up3").
-    ``gmaps`` holds the fused representations (GroupedKernelMap/ParentMap)
+    ``gmaps`` holds the fused representations (MaskedShiftMap/ParentMap)
     for maps where fusion applies; convs prefer these.
     """
 

@@ -23,7 +23,30 @@ except ImportError:  # pragma: no cover
 
 
 def stack_batches(batches):
-    """Stack per-device TrainBatch pytrees along a new leading axis."""
+    """Stack per-device TrainBatch pytrees along a new leading axis.
+
+    Fused kernel maps (ConvGraph.gmaps) are data-dependent: a device whose
+    scenes overflow the leftover budget falls back to the flat table for
+    that map, which changes the pytree STRUCTURE. Stacking requires one
+    structure, so fused maps are intersected across devices first — any
+    map not fused identically everywhere drops to the flat path on all
+    devices (the flat table always ships).
+    """
+    graphs = [getattr(b, "graph", None) for b in batches]
+    if all(g is not None and getattr(g, "gmaps", None) is not None for g in graphs):
+        keep = set(graphs[0].gmaps)
+        for g in graphs[1:]:
+            keep &= set(g.gmaps)
+        keep = {
+            n for n in keep
+            if len({type(g.gmaps[n]) for g in graphs}) == 1
+        }
+        if any(set(g.gmaps) != keep for g in graphs):
+            batches = [
+                b.replace(graph=g.replace(
+                    gmaps={n: g.gmaps[n] for n in keep}))
+                for b, g in zip(batches, graphs)
+            ]
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *batches)
 
 

@@ -332,7 +332,7 @@ def _try_masked_shift_map(
     n_in: int,
     mirror_perm=None,
     companion=None,
-    leftover_ratio: float = 1.75,
+    leftover_ratio: float = 2.5,
 ) -> "Optional[MaskedShiftMap]":
     """Fuse a flat stride-1 k3 map into a MaskedShiftMap (ops/msconv.py),
     or None when the map's shape doesn't fit (non-3-z-columns, asymmetric

@@ -141,7 +141,7 @@ def test_leftover_overflow_falls_back():
     orig = gh._try_masked_shift_map
 
     def tight(idx, offs, z_step, width, n_in, mirror_perm=None, companion=None,
-              leftover_ratio=1.75):
+              leftover_ratio=2.5):
         return orig(idx, offs, z_step, width, n_in, mirror_perm, companion,
                     leftover_ratio=0.001)
 

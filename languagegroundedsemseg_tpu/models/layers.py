@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from languagegroundedsemseg_tpu.ops.msconv import masked_shift_conv
+from languagegroundedsemseg_tpu.ops.onehot_conv import onehot_window_conv
 from languagegroundedsemseg_tpu.ops.spconv import (
     pointwise_conv,
     sparse_conv,
@@ -79,7 +80,11 @@ class SparseConv(nn.Module):
             idx_down = comp.idx if comp is not None and comp.idx.shape[1] > 1 else None
             return sparse_conv_parent(xd, wd, gm, bd, idx_down=idx_down)
         if isinstance(gm, MaskedShiftMap):
-            out = masked_shift_conv(xd, wd, gm, bd)
+            # windowed one-hot MXU kernel first (big levels); masked-shift
+            # gathers next (small tables); flat as the universal fallback
+            out = onehot_window_conv(xd, wd, gm, bd)
+            if out is None:
+                out = masked_shift_conv(xd, wd, gm, bd)
             if out is not None:
                 return out
         return sparse_conv(

@@ -227,7 +227,9 @@ def default_capacities(n0_capacity: int, num_levels: int, ratios: Sequence[float
     caps = []
     for l in range(num_levels):
         c = int(np.ceil(n0_capacity * ratios[l]))
-        c = max(multiple, ((c + multiple - 1) // multiple) * multiple)
+        # big levels round to whole one-hot conv tiles (ops/onehot_conv.py)
+        m = 1024 if c >= 4096 else multiple
+        c = max(m, ((c + m - 1) // m) * m)
         caps.append(c)
     return tuple(caps)
 
@@ -353,15 +355,25 @@ def _try_masked_shift_map(
         return None
     cap = idx.shape[1]
     center_col = None
-    cols = []
+    col_list = []  # (dx_sign, dy, slots)
     for dzs, ks in groups:
         col_off = offs[ks[1]][:-1]
         if not col_off.any():
             center_col = tuple(int(k) for k in ks)
         else:
-            cols.append(tuple(int(k) for k in ks))
+            dx = int(np.sign(col_off[0])) if len(col_off) >= 1 else 0
+            dy = int(col_off[1]) if len(col_off) >= 2 else 0
+            col_list.append((dx, dy, tuple(int(k) for k in ks)))
     if center_col is None:
         return None
+    # dx-group order for the one-hot window kernel (ops/onehot_conv.py):
+    # center group (dx == 0, center first), then dx < 0, then dx > 0
+    col_list.sort(key=lambda t: ({0: 0, -1: 1, 1: 2}.get(t[0], 3), t[1]))
+    cols = [ks for _, _, ks in col_list]
+    group_sizes = [1, 0, 0]
+    for dx, _, _ in col_list:
+        group_sizes[{0: 0, -1: 1, 1: 2}.get(dx, 0)] += 1
+    windowable = len(cols) == 8 and tuple(group_sizes) == (3, 3, 3)
 
     kAc, kBc, kCc = center_col
     # center dz=0 must be the identity (in == out coordinate sets)
@@ -382,6 +394,12 @@ def _try_masked_shift_map(
 
     anchors = np.empty((len(cols), cap), np.int32)
     lo_in, lo_out, lo_slot = [], [], []
+
+    def route_coo(out_rows, in_rows, slot):
+        lo_out.append(out_rows)
+        lo_in.append(in_rows)
+        lo_slot.append(np.full(len(out_rows), slot, np.int32))
+
     for gi, (kA, kB, kC) in enumerate(cols):
         b = idx[kB].astype(np.int64)
         bv = b >= 0
@@ -397,13 +415,60 @@ def _try_masked_shift_map(
             return None
         for kk, vv in ((kA, av & ~bv), (kC, cv & ~bv)):
             o = np.nonzero(vv)[0]
-            lo_out.append(o)
-            lo_in.append(idx[kk][o])
-            lo_slot.append(np.full(len(o), kk, np.int32))
+            route_coo(o, idx[kk][o].astype(np.int64), kk)
+
+    # ---- one-hot window annotation (ops/onehot_conv.py) --------------------
+    from languagegroundedsemseg_tpu.ops.onehot_conv import N_GROUPS, TILE, WIN
+
+    wstart = np.zeros(0, np.int32)
+    if windowable and cap % TILE == 0 and cap >= 4 * TILE:
+        n_tiles = cap // TILE
+        ws = np.zeros((n_tiles, N_GROUPS), np.int32)
+        group_cols = [[-1, 0, 1], [2, 3, 4], [5, 6, 7]]  # -1 = identity/center
+        for t in range(n_tiles):
+            sl = slice(t * TILE, (t + 1) * TILE)
+            for g, members in enumerate(group_cols):
+                vals = [np.arange(t * TILE, (t + 1) * TILE)[:1]] if g == 0 else []
+                for ci in members:
+                    if ci < 0:
+                        continue
+                    av_ = anchors[ci, sl]
+                    vals.append(av_[av_ < cap])
+                allv = np.concatenate(vals) if vals else np.zeros(0, np.int64)
+                if len(allv) == 0:
+                    ws[t, g] = max(0, min(t * TILE, cap))
+                    continue
+                med = int(np.median(allv))
+                w0 = int(np.clip(med - WIN // 2, 0, cap)) & ~7
+                if g == 0:
+                    # must cover the identity rows [tT, (t+1)T)
+                    w0 = int(np.clip(w0, (t + 1) * TILE - WIN, t * TILE)) & ~7
+                    w0 = max(w0, 0)
+                ws[t, g] = w0
+                # route out-of-window anchors to the COO (they read zero pad
+                # rows in the kernel, so no double counting)
+                for ci in members:
+                    if ci < 0:
+                        continue
+                    av_ = anchors[ci, sl].astype(np.int64)
+                    bad = (av_ < cap) & ((av_ < w0) | (av_ >= w0 + WIN))
+                    if bad.any():
+                        o = np.nonzero(bad)[0] + t * TILE
+                        bvals = av_[bad]
+                        kA, kB, kC = cols[ci]
+                        route_coo(o, bvals, kB)
+                        has_a = mp[bvals] > 0
+                        if has_a.any():
+                            route_coo(o[has_a], bvals[has_a] - 1, kA)
+                        has_c = mn[bvals] > 0
+                        if has_c.any():
+                            route_coo(o[has_c], bvals[has_c] + 1, kC)
+                        anchors[ci, o] = cap
+        wstart = ws.reshape(-1)
 
     cap_l = int(leftover_ratio * cap)
     lo_out = np.concatenate(lo_out) if lo_out else np.zeros(0, np.int64)
-    lo_in = np.concatenate(lo_in) if lo_in else np.zeros(0, np.int32)
+    lo_in = np.concatenate(lo_in) if lo_in else np.zeros(0, np.int64)
     lo_slot = np.concatenate(lo_slot) if lo_slot else np.zeros(0, np.int32)
     if len(lo_out) > cap_l:
         return None  # denser than the static leftover budget: flat fallback
@@ -412,14 +477,15 @@ def _try_masked_shift_map(
     lo_out = np.concatenate([lo_out[order], np.full(pad, cap)]).astype(np.int32)
     lo_in = np.concatenate([lo_in[order], np.full(pad, n_in)]).astype(np.int32)
     lo_slot = np.concatenate([lo_slot[order], np.full(pad, -1)]).astype(np.int32)
-    lo_slots = tuple(sorted({int(k) for _, ks in groups for k in (ks[0], ks[2])
-                             if k != kAc and k != kCc}))
+    lo_slots = tuple(sorted({int(k) for ks in cols for k in (ks[0], ks[1], ks[2])}))
     return MaskedShiftMap(
         mp=mp, mn=mn, anchors=anchors,
         lo_in=lo_in, lo_out=lo_out, lo_slot=lo_slot,
+        wstart=wstart,
         cols=tuple([center_col] + cols),
         mirror_perm=tuple(int(v) for v in mirror_perm),
         lo_slots=lo_slots,
+        col_groups=(3, 3, 3),
         companion=companion,
     )
 

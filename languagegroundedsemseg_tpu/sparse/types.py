@@ -108,9 +108,15 @@ class MaskedShiftMap:
     lo_in: jnp.ndarray
     lo_out: jnp.ndarray
     lo_slot: jnp.ndarray
+    # One-hot window annotation (ops/onehot_conv.py): per-(tile, dx-group)
+    # window starts, flattened (n_tiles * 3,); empty when cap < 4 tiles.
+    wstart: jnp.ndarray
     cols: Tuple[Tuple[int, int, int], ...] = struct.field(pytree_node=False)
     mirror_perm: Tuple[int, ...] = struct.field(pytree_node=False)
     lo_slots: Tuple[int, ...] = struct.field(pytree_node=False)
+    # columns per dx group in cols order (center group first)
+    col_groups: Tuple[int, int, int] = struct.field(
+        pytree_node=False, default=(3, 3, 3))
     companion: Optional[str] = struct.field(pytree_node=False, default=None)
 
     @property

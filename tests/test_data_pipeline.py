@@ -118,7 +118,7 @@ def test_synthetic_dataset_loader_end_to_end():
 
 
 def test_loader_repeat_and_multidevice():
-    cfg = _cfg(batch_size=1, fixed_capacity=4096)
+    cfg = _cfg(batch_size=1, fixed_capacity=2048)
     ds_cls = load_dataset("SyntheticTiny20Dataset")
     loader = initialize_data_loader(
         ds_cls, cfg, "train", 1, True, True, True, 1, 10_000_000, num_devices=2
@@ -126,7 +126,7 @@ def test_loader_repeat_and_multidevice():
     it = iter(loader)
     stacked = next(it)
     assert stacked.feats.shape[0] == 2  # leading device axis
-    assert stacked.feats.shape[1] == 4096
+    assert stacked.feats.shape[1] == 2048
     next(it)  # repeat=True keeps going past one epoch
 
 

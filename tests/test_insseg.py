@@ -122,7 +122,7 @@ def test_insseg_trainer_end_to_end(tmp_path):
     from languagegroundedsemseg_tpu.insseg.trainer import InssegTrainer
 
     cfg = Config(
-        ignore_label=255, fixed_capacity=4096, batch_size=2, val_batch_size=1,
+        ignore_label=255, fixed_capacity=2048, batch_size=2, val_batch_size=1,
         log_dir=str(tmp_path / "insseg"), model="InstanceRes16UNet14A", lr=0.05,
     )
     tr = InssegTrainer(cfg)
@@ -140,7 +140,7 @@ def test_cli_insseg_mode_dispatch(tmp_path):
     m = main([
         "--dataset", "SyntheticInstanceDataset",
         "--model", "InstanceRes16UNet14A",
-        "--fixed_capacity", "4096", "--batch_size", "2", "--val_batch_size", "1",
+        "--fixed_capacity", "2048", "--batch_size", "2", "--val_batch_size", "1",
         "--max_iter", "2", "--ignore_label", "255",
         "--log_dir", str(tmp_path / "cli_insseg"),
     ])

@@ -48,7 +48,7 @@ def test_masked_shift_map_structure():
     assert covered == list(range(27))
     assert m.cols[0][1] == 13  # center slot of a 3^3 cube
     assert m.anchors.shape[0] == 8
-    assert len(m.lo_slots) == 16
+    assert len(m.lo_slots) == 24  # all slots of the 8 non-center columns
     n = int(g.levels[0].num)
     cap = m.out_capacity
     # masks: mp[r] set exactly when row r-1 is the true z-1 neighbor

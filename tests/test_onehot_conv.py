@@ -1,0 +1,108 @@
+"""Windowed one-hot gather-GEMM conv (ops/onehot_conv.py) vs flat oracle.
+
+Runs the Pallas kernel in interpreter mode on CPU (auto-selected off-TPU);
+bf16 compute gives ~1e-2 relative tolerance vs the f32 flat path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from languagegroundedsemseg_tpu.ops.onehot_conv import TILE, onehot_window_conv
+from languagegroundedsemseg_tpu.ops.spconv import sparse_conv
+from languagegroundedsemseg_tpu.sparse import GraphSpec, MapSpec, build_graph
+from languagegroundedsemseg_tpu.sparse.graph_host import default_capacities, pack_keys
+from languagegroundedsemseg_tpu.sparse.offsets import ConvKind
+from languagegroundedsemseg_tpu.sparse.types import MaskedShiftMap
+from oracles import make_cloud
+
+CAP = 4 * TILE  # smallest windowed capacity
+
+
+def _graph(seed=0, n=3000):
+    rng = np.random.default_rng(seed)
+    coords = make_cloud(rng, n=n, extent=40)
+    coords = coords[np.argsort(pack_keys(coords), kind="stable")]
+    spec = GraphSpec(num_levels=1, maps={"k3": MapSpec(0, 0, ConvKind(3), fuse_width=3)})
+    g = build_graph(coords, spec, (CAP,), drop_redundant=False)
+    return rng, g
+
+
+def test_window_annotation_built():
+    _, g = _graph()
+    m = g.gmaps["k3"]
+    assert isinstance(m, MaskedShiftMap)
+    assert m.wstart.shape == (CAP // TILE * 3,)
+    ws = np.asarray(m.wstart)
+    assert (ws % 8 == 0).all() and (ws >= 0).all() and (ws <= CAP).all()
+    # every remaining (non-guard) anchor lies inside its tile's window
+    from languagegroundedsemseg_tpu.ops.onehot_conv import WIN
+
+    anchors = np.asarray(m.anchors)
+    group_of_col = [0, 0, 1, 1, 1, 2, 2, 2]
+    for t in range(CAP // TILE):
+        for ci in range(8):
+            w0 = ws[t * 3 + group_of_col[ci]]
+            a = anchors[ci, t * TILE:(t + 1) * TILE]
+            a = a[a < CAP]
+            assert ((a >= w0) & (a < w0 + WIN)).all()
+
+
+def test_onehot_conv_matches_flat():
+    rng, g = _graph(1)
+    m, km = g.gmaps["k3"], g.maps["k3"]
+    for cin, cout in ((16, 32), (96, 96)):
+        x = np.zeros((CAP, cin), np.float32)
+        n = int(g.levels[0].num)
+        x[:n] = rng.normal(size=(n, cin))
+        x = jnp.asarray(x)
+        w = jnp.asarray((rng.normal(size=(27, cin, cout)) * 0.1).astype(np.float32))
+        flat = sparse_conv(x, w, km.idx, center_slot=km.center_slot,
+                           mirror_perm=km.mirror_perm)
+        fused = onehot_window_conv(x, w, m)
+        assert fused is not None
+        scale = np.abs(np.asarray(flat)[:n]).max() + 1e-9
+        err = np.abs(np.asarray(fused)[:n] - np.asarray(flat)[:n]).max() / scale
+        assert err < 2e-2, f"cin={cin}: rel err {err}"
+
+
+def test_onehot_grads_match_flat():
+    rng, g = _graph(2)
+    m, km = g.gmaps["k3"], g.maps["k3"]
+    cin, cout = 16, 8
+    n = int(g.levels[0].num)
+    x = np.zeros((CAP, cin), np.float32)
+    x[:n] = rng.normal(size=(n, cin))
+    x = jnp.asarray(x)
+    w = jnp.asarray((rng.normal(size=(27, cin, cout)) * 0.1).astype(np.float32))
+    ct = np.zeros((CAP, cout), np.float32)
+    ct[:n] = rng.normal(size=(n, cout))
+    ct = jnp.asarray(ct)
+
+    def loss_flat(x, w):
+        return (sparse_conv(x, w, km.idx, center_slot=km.center_slot,
+                            mirror_perm=km.mirror_perm) * ct).sum()
+
+    def loss_fused(x, w):
+        return (onehot_window_conv(x, w, m) * ct).sum()
+
+    gx1, gw1 = jax.grad(loss_flat, (0, 1))(x, w)
+    gx2, gw2 = jax.grad(loss_fused, (0, 1))(x, w)
+    sx = np.abs(np.asarray(gx1)[:n]).max() + 1e-9
+    sw = np.abs(np.asarray(gw1)).max() + 1e-9
+    assert np.abs(np.asarray(gx2)[:n] - np.asarray(gx1)[:n]).max() / sx < 3e-2
+    assert np.abs(np.asarray(gw2) - np.asarray(gw1)).max() / sw < 3e-2
+
+
+def test_small_caps_have_no_windows():
+    rng = np.random.default_rng(3)
+    coords = make_cloud(rng, n=300)
+    coords = coords[np.argsort(pack_keys(coords), kind="stable")]
+    spec = GraphSpec(num_levels=1, maps={"k3": MapSpec(0, 0, ConvKind(3), fuse_width=3)})
+    g = build_graph(coords, spec, (512,), drop_redundant=False)
+    m = g.gmaps.get("k3")
+    if m is not None:
+        assert m.wstart.size == 0
+        x = jnp.zeros((512, 8), np.float32)
+        w = jnp.zeros((27, 8, 8), np.float32)
+        assert onehot_window_conv(x, w, m) is None

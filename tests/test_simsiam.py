@@ -14,9 +14,9 @@ from languagegroundedsemseg_tpu.train.state import TrainState
 
 
 def test_paired_batch_correspondences_match_coords():
-    cfg = Config(ignore_label=255, fixed_capacity=4096)
+    cfg = Config(ignore_label=255, fixed_capacity=2048)
     ds = load_dataset("SyntheticTiny20Dataset")(cfg, phase="train", augment_data=False)
-    builder = BatchBuilder(spec=res16unet_graph_spec(), ignore_index=255, fixed_capacity=4096)
+    builder = BatchBuilder(spec=res16unet_graph_spec(), ignore_index=255, fixed_capacity=2048)
     rng = np.random.default_rng(0)
     b1, b2, corrs1, corrs2 = build_paired_batch(builder, ds, [0, 1], rng, dropout_ratio=0.3)
 

@@ -80,11 +80,13 @@ class SparseConv(nn.Module):
             idx_down = comp.idx if comp is not None and comp.idx.shape[1] > 1 else None
             return sparse_conv_parent(xd, wd, gm, bd, idx_down=idx_down)
         if isinstance(gm, MaskedShiftMap):
-            # windowed one-hot MXU kernel first (big levels); masked-shift
-            # gathers next (small tables); flat as the universal fallback
-            out = onehot_window_conv(xd, wd, gm, bd)
+            # masked-shift gathers while the T3 table fits the fast-table
+            # budget (also the faster backward); the windowed one-hot MXU
+            # kernel takes the big-table convs it declines; flat is the
+            # universal fallback
+            out = masked_shift_conv(xd, wd, gm, bd)
             if out is None:
-                out = masked_shift_conv(xd, wd, gm, bd)
+                out = onehot_window_conv(xd, wd, gm, bd)
             if out is not None:
                 return out
         return sparse_conv(

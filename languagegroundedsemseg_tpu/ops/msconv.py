@@ -45,13 +45,15 @@ class MSMeta(NamedTuple):
 
     cols: slot triples (kA, kB, kC) in ascending dz; cols[0] is the center
     column (identity anchors — served without a gather). mirror_perm:
-    offsets[p[k]] == -offsets[k]. lo_slots: slot ids that can appear in
-    the leftover COO (the dz=+-1 slots of non-center columns).
+    offsets[p[k]] == -offsets[k]. lo_slots: slot ids appearing in the
+    slot-major leftover COO, in segment order. seg_cap: static bound on
+    any slot's segment length.
     """
 
     cols: Tuple[Tuple[int, int, int], ...]
     mirror_perm: Tuple[int, ...]
     lo_slots: Tuple[int, ...]
+    seg_cap: int = 0
 
 
 def _t3(x, mp, mn):
@@ -69,21 +71,35 @@ def _wstack(w, cols):
     )
 
 
-def _leftover_fwd(x, w, lo_in, lo_out, lo_slot, lo_slots, n_out, c_out):
-    """COO leftovers: out[lo_out] += x[lo_in] @ w[lo_slot] (out-sorted;
-    guard entries carry in == cap (zero row) and out == n_out)."""
+def _leftover_fwd(x, w, lo_in, lo_out, lo_slot, lo_off, lo_slots, n_out,
+                  c_out, seg_cap):
+    """COO leftovers: out[lo_out] += x[lo_in] @ w[lo_slot].
+
+    The COO is SLOT-MAJOR (host-sorted by (slot, out)); ``lo_off[j]`` is the
+    start of lo_slots[j]'s segment and ``seg_cap`` a static bound on any
+    segment length. Each slot is ONE un-masked matmul over a dynamic slice
+    of the gathered rows, written back with dynamic_update_slice: a row's
+    last writer is the slot that owns it (segments ascend, so the last j
+    with off_j <= p is exactly p's segment), which makes the overlapping
+    fixed-size writes correct without any per-row selects — the select
+    chain was the dominant leftover cost. Tail guards gather the zero row.
+    """
+    p_rows = lo_in.shape[0]
     xg = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
     g = jnp.take(xg, lo_in, axis=0)
-    contrib = jnp.zeros((g.shape[0], c_out), jnp.float32)
-    for k in lo_slots:
-        part = jnp.dot(g, w[k], preferred_element_type=jnp.float32)
-        contrib = jnp.where((lo_slot == k)[:, None], part, contrib)
+    contrib = jnp.zeros((p_rows, c_out), jnp.float32)
+    for j, k in enumerate(lo_slots):
+        off = lo_off[j]
+        seg = jax.lax.dynamic_slice(g, (off, 0), (seg_cap, g.shape[1]))
+        res = jnp.dot(seg, w[k], preferred_element_type=jnp.float32)
+        contrib = jax.lax.dynamic_update_slice(contrib, res, (off, 0))
     return jax.ops.segment_sum(
-        contrib, lo_out, num_segments=n_out + 1, indices_are_sorted=True
+        contrib, lo_out, num_segments=n_out + 1, indices_are_sorted=False
     )[:-1]
 
 
-def _ms_fwd_impl(x, w, mp, mn, anchors, lo_in, lo_out, lo_slot, meta: MSMeta):
+def _ms_fwd_impl(x, w, mp, mn, anchors, lo_in, lo_out, lo_slot, lo_off,
+                 meta: MSMeta):
     n = x.shape[0]
     c_out = w.shape[2]
     t3 = _t3(x, mp, mn)
@@ -97,8 +113,8 @@ def _ms_fwd_impl(x, w, mp, mn, anchors, lo_in, lo_out, lo_slot, meta: MSMeta):
                            preferred_element_type=jnp.float32), None
 
     acc, _ = lax.scan(body, acc, (anchors, ws[1:]))
-    acc = acc + _leftover_fwd(x, w, lo_in, lo_out, lo_slot, meta.lo_slots,
-                              n, c_out)
+    acc = acc + _leftover_fwd(x, w, lo_in, lo_out, lo_slot, lo_off,
+                              meta.lo_slots, n, c_out, meta.seg_cap)
     return acc
 
 
@@ -108,7 +124,7 @@ def _mirror_w(w, meta: MSMeta):
     return jnp.swapaxes(w.astype(jnp.float32)[perm], 1, 2)
 
 
-def _ms_dw_impl(x, g32, mp, mn, anchors, lo_in, lo_out, lo_slot, meta, k_num):
+def _ms_dw_impl(x, g32, mp, mn, anchors, lo_in, lo_out, lo_slot, lo_off, meta, k_num):
     """dW[k] = gathered_k^T @ dOut, re-gathering the fused rows."""
     c_in = x.shape[1]
     t3 = _t3(x, mp, mn)
@@ -127,16 +143,24 @@ def _ms_dw_impl(x, g32, mp, mn, anchors, lo_in, lo_out, lo_slot, meta, k_num):
         put(col, jax.lax.dot_general(
             g, g32, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
-    # leftover dW: per-slot masked outer products against gathered dOut rows
+    # leftover dW: per-slot segment outer products (slot-major COO; rows
+    # beyond a slot's segment are zeroed by an iota row mask since sums —
+    # unlike the forward's overwrites — would corrupt)
     xg = jnp.concatenate([x, jnp.zeros((1, c_in), x.dtype)], axis=0)
     gl = jnp.take(xg, lo_in, axis=0).astype(jnp.float32)
     g_pad = jnp.concatenate(
         [g32, jnp.zeros((1, g32.shape[1]), jnp.float32)], axis=0)
     go = jnp.take(g_pad, lo_out, axis=0)
-    for k in meta.lo_slots:
-        m = (lo_slot == k)[:, None]
+    seg_cap = meta.seg_cap
+    row = jnp.arange(seg_cap)[:, None]
+    for j, k in enumerate(meta.lo_slots):
+        off = lo_off[j]
+        length = lo_off[j + 1] - off
+        sg = jax.lax.dynamic_slice(gl, (off, 0), (seg_cap, c_in))
+        so = jax.lax.dynamic_slice(go, (off, 0), (seg_cap, go.shape[1]))
+        sg = jnp.where(row < length, sg, 0.0)
         dk = jax.lax.dot_general(
-            jnp.where(m, gl, 0.0), go,
+            sg, so,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dw[k] = dk if dw[k] is None else dw[k] + dk
@@ -144,26 +168,27 @@ def _ms_dw_impl(x, g32, mp, mn, anchors, lo_in, lo_out, lo_slot, meta, k_num):
     return jnp.stack([zero if d is None else d for d in dw])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def _ms_core(x, w, mp, mn, anchors, lo_in, lo_out, lo_slot, meta):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _ms_core(x, w, mp, mn, anchors, lo_in, lo_out, lo_slot, lo_off, meta):
     return _ms_fwd_impl(x, w, mp, mn, anchors, lo_in, lo_out, lo_slot,
-                        meta).astype(x.dtype)
+                        lo_off, meta).astype(x.dtype)
 
 
-def _ms_fwd(x, w, mp, mn, anchors, lo_in, lo_out, lo_slot, meta):
+def _ms_fwd(x, w, mp, mn, anchors, lo_in, lo_out, lo_slot, lo_off, meta):
     out = _ms_fwd_impl(x, w, mp, mn, anchors, lo_in, lo_out, lo_slot,
-                       meta).astype(x.dtype)
-    return out, (x, w, mp, mn, anchors, lo_in, lo_out, lo_slot)
+                       lo_off, meta).astype(x.dtype)
+    return out, (x, w, mp, mn, anchors, lo_in, lo_out, lo_slot, lo_off)
 
 
 def _ms_bwd(meta: MSMeta, res, g_out):
-    x, w, mp, mn, anchors, lo_in, lo_out, lo_slot = res
+    x, w, mp, mn, anchors, lo_in, lo_out, lo_slot, lo_off = res
     g32 = g_out.astype(jnp.float32)
     wt = _mirror_w(w, meta)
-    dx = _ms_fwd_impl(g32, wt, mp, mn, anchors, lo_in, lo_out, lo_slot, meta)
-    dw = _ms_dw_impl(x, g32, mp, mn, anchors, lo_in, lo_out, lo_slot, meta,
-                     w.shape[0])
-    return (dx.astype(x.dtype), dw.astype(w.dtype)) + (None,) * 6
+    dx = _ms_fwd_impl(g32, wt, mp, mn, anchors, lo_in, lo_out, lo_slot,
+                      lo_off, meta)
+    dw = _ms_dw_impl(x, g32, mp, mn, anchors, lo_in, lo_out, lo_slot,
+                     lo_off, meta, w.shape[0])
+    return (dx.astype(x.dtype), dw.astype(w.dtype)) + (None,) * 7
 
 
 _ms_core.defvjp(_ms_fwd, _ms_bwd)
@@ -184,10 +209,10 @@ def masked_shift_conv(x, w, msmap, bias=None):
     if (x.shape[0] + 1) * 3 * x.shape[1] * itemsize > FAST_TABLE_BYTES:
         return None
     meta = MSMeta(tuple(msmap.cols), tuple(msmap.mirror_perm),
-                  tuple(msmap.lo_slots))
+                  tuple(msmap.lo_slots), int(msmap.seg_cap))
     out = _ms_core(
         x, w, msmap.mp, msmap.mn, msmap.anchors,
-        msmap.lo_in, msmap.lo_out, msmap.lo_slot, meta,
+        msmap.lo_in, msmap.lo_out, msmap.lo_slot, msmap.lo_off, meta,
     )
     if bias is not None:
         out = out + bias

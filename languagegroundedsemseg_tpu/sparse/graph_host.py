@@ -466,25 +466,41 @@ def _try_masked_shift_map(
                         anchors[ci, o] = cap
         wstart = ws.reshape(-1)
 
+    # ---- slot-major COO layout (ops/msconv.py:_leftover_fwd) ---------------
+    # segments ordered by lo_slots; any segment bounded by seg_cap (static);
+    # tail padded by seg_cap guard rows so dynamic slices never clamp.
+    lo_slots = tuple(sorted({int(k) for ks in cols for k in (ks[0], ks[1], ks[2])}))
     cap_l = int(leftover_ratio * cap)
+    seg_cap = max(1024, -(-cap_l // 4) // 128 * 128)
     lo_out = np.concatenate(lo_out) if lo_out else np.zeros(0, np.int64)
     lo_in = np.concatenate(lo_in) if lo_in else np.zeros(0, np.int64)
     lo_slot = np.concatenate(lo_slot) if lo_slot else np.zeros(0, np.int32)
     if len(lo_out) > cap_l:
         return None  # denser than the static leftover budget: flat fallback
-    order = np.argsort(lo_out, kind="stable")
-    pad = cap_l - len(lo_out)
-    lo_out = np.concatenate([lo_out[order], np.full(pad, cap)]).astype(np.int32)
-    lo_in = np.concatenate([lo_in[order], np.full(pad, n_in)]).astype(np.int32)
-    lo_slot = np.concatenate([lo_slot[order], np.full(pad, -1)]).astype(np.int32)
-    lo_slots = tuple(sorted({int(k) for ks in cols for k in (ks[0], ks[1], ks[2])}))
+    slot_rank = {k: j for j, k in enumerate(lo_slots)}
+    order = np.lexsort((lo_out, np.vectorize(slot_rank.get)(lo_slot)
+                        if len(lo_slot) else lo_slot))
+    lo_out, lo_in, lo_slot = lo_out[order], lo_in[order], lo_slot[order]
+    counts = np.bincount(
+        np.vectorize(slot_rank.get)(lo_slot).astype(np.int64)
+        if len(lo_slot) else np.zeros(0, np.int64),
+        minlength=len(lo_slots),
+    )
+    if counts.max(initial=0) > seg_cap:
+        return None  # one slot denser than the static segment bound
+    lo_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    pad = cap_l + seg_cap - len(lo_out)
+    lo_out = np.concatenate([lo_out, np.full(pad, cap)]).astype(np.int32)
+    lo_in = np.concatenate([lo_in, np.full(pad, n_in)]).astype(np.int32)
+    lo_slot = np.concatenate([lo_slot, np.full(pad, -1)]).astype(np.int32)
     return MaskedShiftMap(
         mp=mp, mn=mn, anchors=anchors,
-        lo_in=lo_in, lo_out=lo_out, lo_slot=lo_slot,
+        lo_in=lo_in, lo_out=lo_out, lo_slot=lo_slot, lo_off=lo_off,
         wstart=wstart,
         cols=tuple([center_col] + cols),
         mirror_perm=tuple(int(v) for v in mirror_perm),
         lo_slots=lo_slots,
+        seg_cap=int(seg_cap),
         col_groups=(3, 3, 3),
         companion=companion,
     )

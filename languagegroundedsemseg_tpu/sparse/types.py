@@ -105,15 +105,19 @@ class MaskedShiftMap:
     mp: jnp.ndarray
     mn: jnp.ndarray
     anchors: jnp.ndarray
+    # slot-major leftover COO: lo_off[j] = start of lo_slots[j]'s segment
+    # (len(lo_slots) + 1 entries); any segment <= seg_cap rows
     lo_in: jnp.ndarray
     lo_out: jnp.ndarray
     lo_slot: jnp.ndarray
+    lo_off: jnp.ndarray
     # One-hot window annotation (ops/onehot_conv.py): per-(tile, dx-group)
     # window starts, flattened (n_tiles * 3,); empty when cap < 4 tiles.
     wstart: jnp.ndarray
     cols: Tuple[Tuple[int, int, int], ...] = struct.field(pytree_node=False)
     mirror_perm: Tuple[int, ...] = struct.field(pytree_node=False)
     lo_slots: Tuple[int, ...] = struct.field(pytree_node=False)
+    seg_cap: int = struct.field(pytree_node=False, default=0)
     # columns per dx group in cols order (center group first)
     col_groups: Tuple[int, int, int] = struct.field(
         pytree_node=False, default=(3, 3, 3))

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 B = 1024      # output tile rows
 W = 2048      # window rows
-CW = 288      # table width (3C at C=96)
+CW = 384       # 3C padded to a multiple of 128 (Mosaic DMA tiling)
 COUT = 96
 N = 262144
 M = 768       # anchor locality margin used for synthetic anchors
@@ -30,7 +30,7 @@ def build_fn(interpret=False):
 
     def kernel(wstart_ref, anchors_ref, t3_ref, w_ref, out_ref, win, sem):
         t = pl.program_id(0)
-        ws = wstart_ref[t]
+        ws = pl.multiple_of(wstart_ref[t], 8)
         dma = pltpu.make_async_copy(t3_ref.at[pl.ds(ws, W), :], win, sem)
         dma.start()
         rel = anchors_ref[:] - ws  # (B,) int32
@@ -90,6 +90,7 @@ def main():
     wstart = np.clip(
         (np.arange(n_tiles) * B) - (W - B) // 2, 0, N - W
     ).astype(np.int32)
+    wstart &= ~7  # HBM tiling: dynamic DMA slice starts must be 8-aligned
     # keep every anchor inside its tile's window (host guarantees this in
     # the real op by COO-routing outliers)
     for t in range(n_tiles):

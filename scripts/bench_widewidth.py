@@ -46,13 +46,15 @@ def main():
     f = jax.jit(scan_takes)
     rows = int(1.3 * N)
     idx = jnp.asarray(rng.integers(0, rows, (G, N)).astype(np.int32))
-    for cw, cout, dt_ in ((96, 96, np.float32), (192, 64, np.float32),
-                          (288, 96, np.float32), (384, 128, np.float32),
-                          (576, 192, np.float32), (288, 96, np.bfloat16)):
-        tbl = jnp.asarray(rng.normal(size=(rows, cw)).astype(dt_))
-        w = jnp.asarray((rng.normal(size=(G, cw, cout)) * 0.05).astype(dt_))
+    for cw, cout, dt_ in ((96, 96, "float32"), (192, 64, "float32"),
+                          (288, 96, "float32"), (384, 128, "float32"),
+                          (576, 192, "float32"), (288, 96, "bfloat16"),
+                          (576, 192, "bfloat16")):
+        tbl = jnp.asarray(rng.normal(size=(rows, cw)).astype(np.float32)).astype(dt_)
+        w = jnp.asarray((rng.normal(size=(G, cw, cout)) * 0.05).astype(np.float32)).astype(dt_)
         dt = timeit(f, tbl, idx, w)
-        print(f"width={cw:4d} ({str(np.dtype(dt_)):8s}): {dt*1e3:7.2f} ms "
+        mb = rows * cw * (2 if dt_ == "bfloat16" else 4) / 1e6
+        print(f"width={cw:4d} ({dt_:8s}, {mb:5.0f} MB tbl): {dt*1e3:7.2f} ms "
               f"({dt/(G*N)*1e9:5.2f} ns/row)")
 
 

@@ -56,11 +56,18 @@ def test_masked_shift_map_structure():
     kA, kB, kC = m.cols[0]
     np.testing.assert_array_equal(np.asarray(m.mp), (np.asarray(flat[kA]) >= 0))
     np.testing.assert_array_equal(np.asarray(m.mn), (np.asarray(flat[kC]) >= 0))
-    # leftover COO is out-sorted with guards at the tail
+    # leftover COO is slot-major: lo_off delimits each slot's segment and
+    # segments respect the static bound; guards pad the tail
+    lo_slot = np.asarray(m.lo_slot)
+    lo_off = np.asarray(m.lo_off)
+    assert len(lo_off) == len(m.lo_slots) + 1
+    for j, k in enumerate(m.lo_slots):
+        seg = lo_slot[lo_off[j]:lo_off[j + 1]]
+        assert (seg == k).all()
+        assert lo_off[j + 1] - lo_off[j] <= m.seg_cap
     lo = np.asarray(m.lo_out)
-    real = lo < cap
-    assert (np.diff(lo[real]) >= 0).all()
-    assert (~real).sum() == 0 or (lo[~real] == cap).all()
+    assert (lo[lo_off[-1]:] == cap).all()  # tail guards
+    assert len(lo) >= lo_off[-1] + m.seg_cap  # slices never clamp
 
 
 def test_masked_shift_conv_matches_flat():

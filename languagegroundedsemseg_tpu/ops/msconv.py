@@ -58,8 +58,8 @@ class MSMeta(NamedTuple):
 
 def _t3(x, mp, mn):
     """(cap, C) -> (cap+1, 3C) masked-shift table with zero guard row."""
-    xp = jnp.roll(x, 1, axis=0) * mp[:, None]
-    xn = jnp.roll(x, -1, axis=0) * mn[:, None]
+    xp = jnp.roll(x, 1, axis=0) * mp[:, None].astype(x.dtype)
+    xn = jnp.roll(x, -1, axis=0) * mn[:, None].astype(x.dtype)
     t = jnp.concatenate([xp, x, xn], axis=1)
     return jnp.concatenate([t, jnp.zeros((1, t.shape[1]), x.dtype)], axis=0)
 
@@ -202,18 +202,26 @@ FAST_TABLE_BYTES = 140 * 1024 * 1024
 def masked_shift_conv(x, w, msmap, bias=None):
     """Apply a stride-1 k3 sparse conv through a MaskedShiftMap.
 
-    Returns None when the T3 table would exceed the fast-table byte budget
-    (caller falls back to the flat path).
+    When the f32 T3 table would exceed the fast-table byte budget but the
+    bf16 table fits, the conv runs with bf16 inputs (f32 accumulation) —
+    the same precision class as the one-hot kernel path. Returns None when
+    even the bf16 table exceeds the budget (caller falls back).
     """
     itemsize = jnp.dtype(x.dtype).itemsize
-    if (x.shape[0] + 1) * 3 * x.shape[1] * itemsize > FAST_TABLE_BYTES:
-        return None
+    table_bytes = (x.shape[0] + 1) * 3 * x.shape[1] * itemsize
+    if table_bytes > FAST_TABLE_BYTES:
+        if itemsize > 2 and table_bytes // 2 <= FAST_TABLE_BYTES:
+            x = x.astype(jnp.bfloat16)
+            w = w.astype(jnp.bfloat16)
+        else:
+            return None
     meta = MSMeta(tuple(msmap.cols), tuple(msmap.mirror_perm),
                   tuple(msmap.lo_slots), int(msmap.seg_cap))
     out = _ms_core(
         x, w, msmap.mp, msmap.mn, msmap.anchors,
         msmap.lo_in, msmap.lo_out, msmap.lo_slot, msmap.lo_off, meta,
     )
+    out = out.astype(jnp.float32)
     if bias is not None:
         out = out + bias
     return out

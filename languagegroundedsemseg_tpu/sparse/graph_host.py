@@ -334,7 +334,7 @@ def _try_masked_shift_map(
     n_in: int,
     mirror_perm=None,
     companion=None,
-    leftover_ratio: float = 2.5,
+    leftover_ratio: float = 1.6,
 ) -> "Optional[MaskedShiftMap]":
     """Fuse a flat stride-1 k3 map into a MaskedShiftMap (ops/msconv.py),
     or None when the map's shape doesn't fit (non-3-z-columns, asymmetric
@@ -471,7 +471,7 @@ def _try_masked_shift_map(
     # tail padded by seg_cap guard rows so dynamic slices never clamp.
     lo_slots = tuple(sorted({int(k) for ks in cols for k in (ks[0], ks[1], ks[2])}))
     cap_l = int(leftover_ratio * cap)
-    seg_cap = max(1024, -(-cap_l // 4) // 128 * 128)
+    seg_cap = max(1024, -(-cap_l // 8) // 128 * 128)
     lo_out = np.concatenate(lo_out) if lo_out else np.zeros(0, np.int64)
     lo_in = np.concatenate(lo_in) if lo_in else np.zeros(0, np.int64)
     lo_slot = np.concatenate(lo_slot) if lo_slot else np.zeros(0, np.int32)

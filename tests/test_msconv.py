@@ -115,18 +115,28 @@ def test_masked_shift_grads_match_flat():
 
 
 def test_masked_shift_wide_channel_fallback():
-    """Above the fast-table byte budget the op declines (caller goes flat)."""
+    """Above the fast-table byte budget the op drops to a bf16 table when
+    that fits, and declines entirely when even bf16 is over budget."""
     import languagegroundedsemseg_tpu.ops.msconv as mod
 
     rng, coords = _sorted_cloud(3)
     g = _graph(coords)
-    m = g.gmaps["k3"]
-    x = jnp.zeros((m.out_capacity, 8), np.float32)
-    w = jnp.zeros((27, 8, 8), np.float32)
+    m, km = g.gmaps["k3"], g.maps["k3"]
+    n = int(g.levels[0].num)
+    x = jnp.asarray(rng.normal(size=(m.out_capacity, 8)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(27, 8, 8)) * 0.1).astype(np.float32))
+    f32_bytes = (m.out_capacity + 1) * 3 * 8 * 4
     old = mod.FAST_TABLE_BYTES
     try:
-        mod.FAST_TABLE_BYTES = 100  # force the budget check to trip
+        mod.FAST_TABLE_BYTES = 100  # below even the bf16 table
         assert masked_shift_conv(x, w, m) is None
+        mod.FAST_TABLE_BYTES = f32_bytes // 2  # bf16 fits, f32 does not
+        out = masked_shift_conv(x, w, m)
+        assert out is not None and out.dtype == jnp.float32
+        flat = sparse_conv(x, w, km.idx, center_slot=km.center_slot,
+                           mirror_perm=km.mirror_perm)
+        scale = np.abs(np.asarray(flat)[:n]).max() + 1e-9
+        assert np.abs(np.asarray(out)[:n] - np.asarray(flat)[:n]).max() / scale < 2e-2
     finally:
         mod.FAST_TABLE_BYTES = old
     assert masked_shift_conv(x, w, m) is not None
@@ -148,7 +158,7 @@ def test_leftover_overflow_falls_back():
     orig = gh._try_masked_shift_map
 
     def tight(idx, offs, z_step, width, n_in, mirror_perm=None, companion=None,
-              leftover_ratio=2.5):
+              leftover_ratio=1.6):
         return orig(idx, offs, z_step, width, n_in, mirror_perm, companion,
                     leftover_ratio=0.001)
 

@@ -195,8 +195,12 @@ _ms_core.defvjp(_ms_fwd, _ms_bwd)
 
 
 # Above the fast-table byte budget the fused gathers fall off a cliff
-# (measured: 131 MB fast, 302 MB slow); flat wins beyond it.
+# (measured: 131 MB fast, 151 MB already slow, 302 MB slow); flat or the
+# one-hot kernel wins beyond it.
 FAST_TABLE_BYTES = 140 * 1024 * 1024
+# bf16 tables halve the footprint but bf16 gathers measured slow on their
+# own (60 ms vs one-hot 24.8 at L0 C=96); opt-in only.
+BF16_TABLE_FALLBACK = False
 
 
 def masked_shift_conv(x, w, msmap, bias=None):
@@ -210,7 +214,8 @@ def masked_shift_conv(x, w, msmap, bias=None):
     itemsize = jnp.dtype(x.dtype).itemsize
     table_bytes = (x.shape[0] + 1) * 3 * x.shape[1] * itemsize
     if table_bytes > FAST_TABLE_BYTES:
-        if itemsize > 2 and table_bytes // 2 <= FAST_TABLE_BYTES:
+        if (BF16_TABLE_FALLBACK and itemsize > 2
+                and table_bytes // 2 <= FAST_TABLE_BYTES):
             x = x.astype(jnp.bfloat16)
             w = w.astype(jnp.bfloat16)
         else:

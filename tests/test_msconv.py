@@ -127,7 +127,9 @@ def test_masked_shift_wide_channel_fallback():
     w = jnp.asarray((rng.normal(size=(27, 8, 8)) * 0.1).astype(np.float32))
     f32_bytes = (m.out_capacity + 1) * 3 * 8 * 4
     old = mod.FAST_TABLE_BYTES
+    old_bf16 = mod.BF16_TABLE_FALLBACK
     try:
+        mod.BF16_TABLE_FALLBACK = True
         mod.FAST_TABLE_BYTES = 100  # below even the bf16 table
         assert masked_shift_conv(x, w, m) is None
         mod.FAST_TABLE_BYTES = f32_bytes // 2  # bf16 fits, f32 does not
@@ -139,6 +141,7 @@ def test_masked_shift_wide_channel_fallback():
         assert np.abs(np.asarray(out)[:n] - np.asarray(flat)[:n]).max() / scale < 2e-2
     finally:
         mod.FAST_TABLE_BYTES = old
+        mod.BF16_TABLE_FALLBACK = old_bf16
     assert masked_shift_conv(x, w, m) is not None
 
 

@@ -88,6 +88,37 @@ def test_cluster_points_separates_instances():
     assert n2 == 3
 
 
+def test_pointnet2_sa_fp_modules():
+    """SA downsamples with FPS+ball-query+maxpool; FP interpolates back —
+    the module layer over the N2-N5 ops (reference pointnet2_modules.py)."""
+    import jax
+
+    from languagegroundedsemseg_tpu.models.pointnet2 import (
+        FeaturePropagation,
+        SetAbstraction,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 256
+    xyz = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.random((n, 8)).astype(np.float32))
+    mask = np.ones(n, bool); mask[-16:] = False
+    mask = jnp.asarray(mask)
+
+    sa = SetAbstraction(npoint=64, radius=0.3, nsample=16, mlp=(16, 32))
+    v = sa.init(jax.random.PRNGKey(0), xyz, feats, mask)
+    new_xyz, new_feats, new_mask = sa.apply(v, xyz, feats, mask)
+    assert new_xyz.shape == (64, 3) and new_feats.shape == (64, 32)
+    assert np.isfinite(np.asarray(new_feats)).all()
+    assert np.asarray(new_mask).any()
+
+    fp = FeaturePropagation(mlp=(24, 8))
+    v2 = fp.init(jax.random.PRNGKey(1), xyz, feats, new_xyz, new_feats, new_mask)
+    out = fp.apply(v2, xyz, feats, new_xyz, new_feats, new_mask)
+    assert out.shape == (n, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_instance_evaluator_perfect_predictions():
     ev = InstanceEvaluator([1, 2], ["a", "b"])
     n = 500

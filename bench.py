@@ -1,10 +1,16 @@
-"""Benchmark: Res16UNet34C forward voxel throughput on one chip.
+"""Benchmark: Res16UNet34C throughput on one chip — forward, train step,
+and loader-overlapped end-to-end, in ONE JSON line.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Primary metric (the driver's ``value``/``vs_baseline``) stays the forward
+voxel throughput for round-over-round comparability; the train-step and
+end-to-end numbers ride along with their own ``*_vs_baseline`` fields
+(VERDICT r2 #3: BASELINE.md targets "voxels/sec/chip ...; scenes/sec e2e").
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md);
-MinkowskiEngine Res16UNet34C forward on an RTX-3090-class GPU measures
-~4.0M voxels/sec in public ME benchmarks, which we adopt as the 1.0x mark.
+Baselines: the reference publishes no throughput numbers (BASELINE.md);
+public MinkowskiEngine benchmarks on an RTX-3090-class GPU measure ~4.0M
+voxels/sec for the Res16UNet34C forward, and ME's fwd+bwd+step runs ~3x the
+forward time, giving ~1.33M voxels/sec for the train step. The e2e mark is
+the train-step mark over the bench scene size (loader assumed hidden).
 """
 
 from __future__ import annotations
@@ -13,6 +19,17 @@ import json
 import time
 
 import numpy as np
+
+FWD_BASELINE = 4.0e6  # RTX-3090-class ME forward voxels/sec
+TRAIN_BASELINE = FWD_BASELINE / 3.0  # ME fwd+bwd+opt ~ 3x forward time
+
+
+def _sync(x):
+    """True device sync: under the axon relay block_until_ready can return
+    before execution completes — force a D2H fetch of ONE scalar (slicing
+    on-device first; np.asarray on the full array would drag the whole
+    buffer through the ~30 MB/s tunnel)."""
+    return float(x[(0,) * getattr(x, "ndim", 0)])
 
 
 def main():
@@ -23,10 +40,14 @@ def main():
 
     from __graft_entry__ import _voxelize_scene
     from languagegroundedsemseg_tpu.data.batching import BatchBuilder
+    from languagegroundedsemseg_tpu.losses.classification import cross_entropy_loss
     from languagegroundedsemseg_tpu.models.res16unet import (
         Res16UNet34C,
         res16unet_graph_spec,
     )
+    from languagegroundedsemseg_tpu.train.solvers import sgd_torch
+    from languagegroundedsemseg_tpu.train.state import TrainState
+    from languagegroundedsemseg_tpu.train.step import make_train_step
 
     rng = np.random.default_rng(0)
     builder = BatchBuilder(
@@ -35,8 +56,10 @@ def main():
         level_ratios=(1, 0.55, 0.22, 0.08, 0.03),
     )
     scenes = [_voxelize_scene(rng, 180_000) for _ in range(4)]
+    t_build0 = time.perf_counter()
     batch = builder.build(scenes)
-    n_valid = int(np.asarray(batch.graph.levels[0].num))
+    host_build_s = time.perf_counter() - t_build0
+    n_valid = int(np.asarray(batch.graph.levels[0].valid).sum())
 
     model = Res16UNet34C(out_channels=200)
     variables = model.init(jax.random.PRNGKey(0), batch.feats, batch.graph, train=False)
@@ -45,30 +68,88 @@ def main():
     def fwd(variables, feats, graph):
         return model.apply(variables, feats, graph, train=False)[0]
 
-    feats = jax.device_put(batch.feats)
-    graph = jax.device_put(batch.graph)
+    batch = jax.device_put(batch)
+    feats, graph = batch.feats, batch.graph
     variables = jax.device_put(variables)
 
-    # warmup + compile (the scalar fetch is a true device sync; under the
-    # axon relay block_until_ready can return before execution finishes)
-    float(fwd(variables, feats, graph)[0, 0])
-
+    # ---- forward ----------------------------------------------------------
+    _sync(fwd(variables, feats, graph))  # warmup + compile
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(variables, feats, graph)
-        float(out[0, 0])  # force a D2H sync every iteration
-    dt = (time.perf_counter() - t0) / iters
+        _sync(out)
+    fwd_dt = (time.perf_counter() - t0) / iters
 
-    voxels_per_sec = n_valid / dt
-    baseline = 4.0e6  # RTX-3090-class ME forward voxels/sec (see module docstring)
+    # ---- train step (fwd+bwd+SGD) ----------------------------------------
+    tx = sgd_torch(0.01)
+    state = TrainState.create(variables, tx)
+
+    def objective(logits, _feats, b, _key, row_mask):
+        return (
+            cross_entropy_loss(logits, b.labels, ignore_index=255, row_mask=row_mask),
+            {},
+        )
+
+    step = jax.jit(make_train_step(model, tx, objective))
+    key = jax.random.PRNGKey(1)
+    state, metrics = step(state, batch, key)  # warmup + compile
+    _sync(metrics["loss"])
+    t0 = time.perf_counter()
+    train_iters = 5
+    for _ in range(train_iters):
+        state, metrics = step(state, batch, key)
+        _sync(metrics["loss"])
+    train_dt = (time.perf_counter() - t0) / train_iters
+
+    # ---- loader-overlapped end-to-end ------------------------------------
+    # One loader thread builds the next batch (host graph build) while the
+    # device steps on the current one: e2e step = max(device, host/threads).
+    import queue
+    import threading
+
+    def producer(q, n):
+        r = np.random.default_rng(7)
+        for _ in range(n):
+            sc = [_voxelize_scene(r, 180_000) for _ in range(4)]
+            q.put(jax.device_put(builder.build(sc)))
+        q.put(None)
+
+    e2e_steps = 3
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    th = threading.Thread(target=producer, args=(q, e2e_steps), daemon=True)
+    t0 = time.perf_counter()
+    th.start()
+    n_scenes = 0
+    while True:
+        b = q.get()
+        if b is None:
+            break
+        state, metrics = step(state, b, key)
+        _sync(metrics["loss"])
+        n_scenes += 4
+    e2e_dt = time.perf_counter() - t0
+    scenes_per_sec = n_scenes / e2e_dt
+
+    fwd_vps = n_valid / fwd_dt
+    train_vps = n_valid / train_dt
+    # GPU-side e2e mark: train-step baseline over the same batch
+    e2e_baseline = TRAIN_BASELINE / (n_valid / 4)
     print(
         json.dumps(
             {
                 "metric": "res16unet34c_fwd_voxels_per_sec",
-                "value": round(voxels_per_sec, 1),
+                "value": round(fwd_vps, 1),
                 "unit": "voxels/sec/chip",
-                "vs_baseline": round(voxels_per_sec / baseline, 3),
+                "vs_baseline": round(fwd_vps / FWD_BASELINE, 3),
+                "fwd_ms": round(fwd_dt * 1e3, 1),
+                "train_step_voxels_per_sec": round(train_vps, 1),
+                "train_step_ms": round(train_dt * 1e3, 1),
+                "train_vs_baseline": round(train_vps / TRAIN_BASELINE, 3),
+                "e2e_scenes_per_sec": round(scenes_per_sec, 3),
+                "e2e_vs_baseline": round(scenes_per_sec / e2e_baseline, 3),
+                "host_graph_build_s": round(host_build_s, 2),
+                "n_voxels": n_valid,
             }
         )
     )

@@ -172,6 +172,24 @@ class Config:
     num_devices: int = 0  # 0 = all visible devices
     remat: bool = False  # jax.checkpoint the encoder/decoder stages
 
+    def __post_init__(self):
+        # These flags exist for CLI compatibility but have NO consumer in the
+        # reference either (defined at reference config/config.py:178-210 and
+        # never read); fail loudly instead of silently ignoring a non-default.
+        dead = {
+            "point_lim": -1,
+            "pre_point_lim": -1,
+            "partial_crop": 0.0,
+            "eval_upsample": False,
+        }
+        for name, default in dead.items():
+            if getattr(self, name) != default:
+                raise ValueError(
+                    f"--{name} is accepted for reference-CLI compatibility "
+                    f"but implemented nowhere (the reference never reads it "
+                    f"either); remove the flag or leave it at {default!r}"
+                )
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
@@ -196,14 +214,83 @@ def _coerce(f: dataclasses.Field, v: str):
     return v
 
 
+def _fields_by_name():
+    return {f.name: f for f in dataclasses.fields(Config)}
+
+
+def load_yaml_overlay(path: str, strict: bool = False) -> dict:
+    """Flatten a reference-style nested YAML (sections like ``net:``,
+    ``optimizer:``, ``data:`` — reference downstream/insseg/config/
+    default.yaml) onto Config field names. Section names are dropped:
+    ``optimizer.lr`` -> ``lr``. Unknown keys warn (or raise when strict)."""
+    import logging
+
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f) or {}
+    fields = _fields_by_name()
+    out: dict = {}
+
+    def visit(prefix, node):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                visit(f"{prefix}{k}.", v)
+                continue
+            if k not in fields:
+                msg = f"yaml key {prefix}{k} has no Config field"
+                if strict:
+                    raise KeyError(msg)
+                logging.warning("%s (ignored)", msg)
+                continue
+            if v is None:
+                continue
+            f_ = fields[k]
+            out[k] = _coerce(f_, str(v)) if isinstance(v, str) else (
+                tuple(v) if isinstance(v, list) else v
+            )
+
+    visit("", doc)
+    return out
+
+
+def parse_dot_overrides(items: List[str], strict: bool = True) -> dict:
+    """Hydra-style ``section.key=value`` (or ``key=value``) CLI overrides
+    (the reference's insseg scripts pass ``optimizer.lr=0.1`` style args,
+    scripts/train_scannet_slurm.sh)."""
+    fields = _fields_by_name()
+    out = {}
+    for item in items:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} is not key=value")
+        key, _, val = item.partition("=")
+        name = key.split(".")[-1]
+        if name not in fields:
+            if strict:
+                raise KeyError(f"override {key} has no Config field")
+            continue
+        out[name] = _coerce(fields[name], val)
+    return out
+
+
 def get_config(argv: Optional[List[str]] = None) -> Config:
     """CLI entry: every Config field becomes a --flag (reference
-    config/config.py:285 get_config equivalent)."""
+    config/config.py:285 get_config equivalent). Also accepts
+    ``--config overrides.yaml`` (nested reference-style YAML) and
+    positional ``section.key=value`` dot-overrides; precedence:
+    defaults < yaml < dot-overrides < explicit --flags."""
     parser = argparse.ArgumentParser("languagegroundedsemseg_tpu")
+    parser.add_argument("--config", type=str, default=None,
+                        help="nested YAML overlay (insseg default.yaml style)")
+    parser.add_argument("dot_overrides", nargs="*", default=[],
+                        help="section.key=value overrides")
     for f in dataclasses.fields(Config):
         parser.add_argument(f"--{f.name}", type=str, default=None)
     args = parser.parse_args(argv)
     overrides = {}
+    if args.config:
+        overrides.update(load_yaml_overlay(args.config))
+    overrides.update(parse_dot_overrides(args.dot_overrides))
     for f in dataclasses.fields(Config):
         v = getattr(args, f.name)
         if v is not None:

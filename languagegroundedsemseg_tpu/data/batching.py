@@ -106,7 +106,14 @@ class BatchBuilder:
         coords, feats, labels = coords[order], feats[order], labels[order]
         extra_cat = {k: v[order] for k, v in extra_cat.items()}
 
-        graph = build_graph(coords, self.spec, self.capacities(cap0))
+        glay: dict = {}
+        graph = build_graph(coords, self.spec, self.capacities(cap0),
+                            layout_out=glay)
+        # Sentinel expansion (sparse/graph_host.py:expand_sentinels) may have
+        # interleaved zero rows: real level-0 row i now lives at pos0[i].
+        pos0 = glay.get("pos0")
+        if pos0 is None:
+            pos0 = np.arange(len(coords), dtype=np.int32)
         if stats_out is not None:
             stats_out["scenes_dropped"] = scenes_dropped
             stats_out["voxels_dropped"] = n_raw - len(order)
@@ -117,25 +124,26 @@ class BatchBuilder:
             # level 0 overflow is exact (n_raw known); deeper levels flag
             # num == capacity (the truncation site, graph_host.py:399-407)
             stats_out["levels"][0] = (
-                int(graph.levels[0].num),
+                len(pos0),
                 graph.levels[0].capacity,
                 n_raw > cap0,
             )
-        n = len(coords)
         feats_p = np.zeros((cap0, feats.shape[1]), dtype=np.float32)
-        feats_p[:n] = feats
+        feats_p[pos0] = feats
         labels_p = np.full((cap0,), self.ignore_index, dtype=np.int32)
-        labels_p[:n] = labels
+        labels_p[pos0] = labels
         extras_p = {}
         for k, v in extra_cat.items():
             pad = np.zeros((cap0,) + v.shape[1:], dtype=v.dtype)
-            pad[:n] = v
+            pad[pos0] = v
             extras_p[k] = pad
         batch = TrainBatch(feats=feats_p, labels=labels_p, graph=graph, extras=extras_p)
         if return_layout:
-            # order maps padded row -> original concatenated row; scene_offsets
-            # give each scene's base in the concatenated (pre-sort) space —
-            # callers remap cross-batch indices (paired-view correspondences).
+            # order maps kept row i -> original concatenated row; pos0 maps
+            # kept row i -> padded device row; scene_offsets give each
+            # scene's base in the concatenated (pre-sort) space — callers
+            # remap cross-batch indices (paired-view correspondences).
             offsets = np.cumsum([0] + [len(s[0]) for s in scenes[:-1]])
-            return batch, {"order": order, "scene_offsets": offsets}
+            return batch, {"order": order, "pos0": pos0,
+                           "scene_offsets": offsets}
         return batch

@@ -105,6 +105,7 @@ class DataLoader:
         num_workers: int = 2,
         num_devices: int = 1,
         ignore_index: int = 255,
+        extras_fn=None,
     ):
         self.dataset = dataset
         self.builder = builder
@@ -114,6 +115,10 @@ class DataLoader:
         self.seed = seed
         self.num_workers = max(num_workers, 1)
         self.num_devices = num_devices
+        # Optional per-item extras: extras_fn(item) -> dict of (N, ...)
+        # arrays carried through dedup/sort/padding (instance targets for
+        # the insseg trainer).
+        self.extras_fn = extras_fn
         self.epoch = 0
         # Persistent across __iter__ calls: keeps per-scene augmentation RNG
         # distinct epoch over epoch (torch DataLoader gets this implicitly
@@ -146,10 +151,11 @@ class DataLoader:
                 return
 
     def _build_one(self, indices: List[int], batch_counter: int) -> TrainBatch:
-        scenes = []
+        scenes, items = [], []
         for j, idx in enumerate(indices):
             rng = np.random.default_rng((self.seed, batch_counter, j))
             item = self.dataset.get_item(int(idx), rng)
+            items.append(item)
             feats = item["feats"]
             if getattr(self.dataset.config, "normalize_color", True):
                 feats = feats.copy()
@@ -159,7 +165,27 @@ class DataLoader:
                 labels = labels[:, 0]
             scenes.append((item["coords"], feats, labels))
         stats: dict = {}
-        batch = self.builder.build(scenes, stats_out=stats)
+        # Per-voxel dataset index: prediction dumps derive scene identity
+        # from this, so dropped/reordered scenes can never shift ids
+        # (reference aligns dumps positionally, lib/utils.py:340-435).
+        extras = [
+            {"scene_idx": np.full(len(s[0]), int(idx), np.int32)}
+            for idx, s in zip(indices, scenes)
+        ]
+        if self.extras_fn is not None:
+            for e, it in zip(extras, items):
+                e.update(self.extras_fn(it))
+        if getattr(self.dataset.config, "return_transformation", False):
+            # Voxelizer transform rows (reference cflt_collate, lib/
+            # dataset.py:352): lets the dump path restore original-scale
+            # coordinates (lib/utils.py:292-315).
+            for e, it in zip(extras, items):
+                tr = np.asarray(
+                    it.get("transform") if it.get("transform") is not None
+                    else np.eye(4), np.float32,
+                ).reshape(16)
+                e["transform"] = np.tile(tr, (len(e["scene_idx"]), 1))
+        batch = self.builder.build(scenes, extras=extras, stats_out=stats)
         self.counters.update(stats)
         return batch
 

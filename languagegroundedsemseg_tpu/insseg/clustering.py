@@ -31,11 +31,16 @@ class Clustering:
         self.ignored_labels = list(ignored_labels)
         self.class_mapping = class_mapping  # train id -> raw benchmark id
         self.thresh = thresh
+        # closed_points is the reference's initial meanActive ball-query
+        # budget (bfs.py:141), which its retry loop grows until the whole
+        # within-radius neighborhood fits; our exact host pair query IS that
+        # converged state, so the budget only matters as a sanity bound on
+        # expected neighborhood size (kept for constructor parity).
         self.closed_points = closed_points
         self.min_points = min_points
         self.propose_points = propose_points
         self.score_func = score_func
-        self.max_neighbors = max_neighbors
+        self.max_neighbors = max_neighbors  # device-path table width only
 
     def get_instances_dual_set(
         self,

@@ -65,6 +65,16 @@ class InssegTrainer:
             level_ratios=config.level_capacity_ratios,
         )
 
+        def _insseg_extras(item):
+            return {
+                "centers": item["centers"].astype(np.float32),
+                "instance_valid": (item["instances"] >= 0).astype(np.float32),
+                "instance_ids": item["instances"].astype(np.int32),
+                "xyz": item["coords"].astype(np.float32),
+            }
+
+        self._insseg_extras = _insseg_extras
+
         # Multi-device data parallelism: grads + BN stats psum over the mesh
         # (the reference trains insseg on 8 GPUs via DDP,
         # config/default.yaml:101-111, scripts/train_scannet_slurm.sh).
@@ -224,25 +234,26 @@ class InssegTrainer:
                 self.state = restore_checkpoint(path, self.state)
                 print(f"resumed from {path} at step {int(self.state.step)}")
 
-        rng = np.random.default_rng(cfg.seed)
-        n = len(self.dataset)
+        # Parallel prefetching loader with epoch semantics (fresh shuffled
+        # order per epoch, wrap-around padding, device_put overlap, overflow
+        # counters) — the host graph build (~240 ms/scene) runs in worker
+        # threads while the device steps (reference trains through torch
+        # DataLoader workers, downstream/insseg/lib/ddp_trainer.py).
+        from languagegroundedsemseg_tpu.data.loader import DataLoader
+
+        loader = DataLoader(
+            self.dataset, self.builder,
+            batch_size=min(cfg.batch_size, len(self.dataset)),
+            shuffle=True, repeat=True, seed=cfg.seed,
+            num_workers=cfg.num_workers, num_devices=self.n_dev,
+            ignore_index=cfg.ignore_label, extras_fn=self._insseg_extras,
+        )
+        self.train_loader = loader
+        batch_iter = iter(loader)
         key = jax.random.PRNGKey(cfg.seed)
         start = int(self.state.step)
         for step in range(start, max_steps):
-            if self.mesh is not None:
-                from languagegroundedsemseg_tpu.parallel.dp import stack_batches
-
-                per_dev = min(cfg.batch_size, n)
-                batches = [
-                    self._make_batch(
-                        rng.choice(n, size=per_dev, replace=False), seed=(step + 1) * 131 + d
-                    )
-                    for d in range(self.n_dev)
-                ]
-                batch = stack_batches(batches)
-            else:
-                idxs = rng.choice(n, size=min(cfg.batch_size, n), replace=False)
-                batch = self._make_batch(idxs, seed=step + 1)
+            batch = next(batch_iter)
             self.state, parts = self.p_train_step(self.state, batch, key)
             if (step + 1) % log_every == 0:
                 rec = {k: float(v) for k, v in parts.items()} | {"step": step + 1}
@@ -281,10 +292,10 @@ class InssegTrainer:
             offsets, probs, hist = self.p_eval(self.state, batch)
             ev_sem.update_hist(np.asarray(hist))
 
-            n_valid = int(np.asarray(batch.graph.levels[0].num))
-            offsets = np.asarray(offsets)[:n_valid]
-            probs = np.asarray(probs)[:n_valid]
-            coords = np.asarray(batch.graph.levels[0].coords)[:n_valid, 1:]
+            m_valid = np.asarray(batch.graph.levels[0].bool_mask())
+            offsets = np.asarray(offsets)[m_valid]
+            probs = np.asarray(probs)[m_valid]
+            coords = np.asarray(batch.graph.levels[0].coords)[m_valid, 1:]
             # vote shift (reference pl_Trainer.py:356)
             vertices = coords * self.voxel_size + offsets
             instances = self.clusterer.get_instances(vertices, probs)
@@ -313,19 +324,30 @@ class InssegTrainer:
                 }
                 ev_inst.add_gt(scene, original["semantic"], original["instance"])
                 ev_inst.add_prediction(scene, full_instances)
+                if self.config.save_prediction:
+                    # ScanNet benchmark submission files (reference
+                    # evaluate_semantic_instance.py:363-374 writes them
+                    # during eval when exporting is on)
+                    ev_inst.export_benchmark(
+                        self.config.save_pred_dir, scene, full_instances
+                    )
             else:
                 # voxel-space fallback (no original cloud available)
                 inv = np.asarray(
                     [ds.inverse_label_map.get(t, -1) for t in range(self.num_labels)]
                 )
                 sem_raw = np.where(
-                    np.asarray(batch.labels)[:n_valid] == self.config.ignore_label,
+                    np.asarray(batch.labels)[m_valid] == self.config.ignore_label,
                     -1,
-                    inv[np.clip(np.asarray(batch.labels)[:n_valid], 0, self.num_labels - 1)],
+                    inv[np.clip(np.asarray(batch.labels)[m_valid], 0, self.num_labels - 1)],
                 )
-                inst_ids = np.asarray(batch.extras["instance_ids"])[:n_valid]
+                inst_ids = np.asarray(batch.extras["instance_ids"])[m_valid]
                 ev_inst.add_gt(scene, sem_raw, inst_ids)
                 ev_inst.add_prediction(scene, instances)
+                if self.config.save_prediction:
+                    ev_inst.export_benchmark(
+                        self.config.save_pred_dir, scene, instances
+                    )
 
         sem = ev_sem.compute()
         inst = ev_inst.evaluate()

@@ -85,6 +85,14 @@ class Wrapper(nn.Module):
     def __call__(self, feats, graph, train=False, representation_only=False, apply_crf=True):
         logits, features = self.base(feats, graph, train, representation_only)
         lvl0 = graph.levels[0]
+        # Stochastic application: the reference runs the filter always at
+        # eval and with p=0.5 during training so the base net stays
+        # filter-invariant (models/wrapper.py:24-28). The coin comes from
+        # the 'crf' rng collection (the train step provides it).
+        if train and apply_crf and self.has_rng("crf"):
+            coin = jax.random.bernoulli(self.make_rng("crf"))
+        else:
+            coin = jnp.bool_(True)
         crf = MeanFieldCRF(
             num_classes=self.num_classes,
             spatial_sigma=self.spatial_sigma,
@@ -106,7 +114,10 @@ class Wrapper(nn.Module):
             lvl0.mask(),
             time=time,
         )
-        return (refined if apply_crf else logits), features
+        if not apply_crf:
+            return logits, features
+        out = jnp.where(coin, refined.astype(logits.dtype), logits)
+        return out, features
 
 
 class BilateralCRF(Wrapper):

@@ -80,15 +80,19 @@ class SparseConv(nn.Module):
             idx_down = comp.idx if comp is not None and comp.idx.shape[1] > 1 else None
             return sparse_conv_parent(xd, wd, gm, bd, idx_down=idx_down)
         if isinstance(gm, MaskedShiftMap):
-            # masked-shift gathers while the T3 table fits the fast-table
-            # budget (also the faster backward); the windowed one-hot MXU
-            # kernel takes the big-table convs it declines; flat is the
-            # universal fallback
-            out = masked_shift_conv(xd, wd, gm, bd)
-            if out is None:
-                out = onehot_window_conv(xd, wd, gm, bd)
-            if out is not None:
-                return out
+            # Path choice by the measured cost model (PERF.md): the fused
+            # gather costs ~3 ns/row per 512-byte lane tile of the 3C-wide
+            # T3 row (8 rows/voxel), while the one-hot MXU kernel's selector
+            # cost is roughly width-independent — so the kernel wins once
+            # the T3 row spans >= 3 lane tiles (C >= ~86 at f32). Flat is
+            # the universal fallback.
+            wide = 3 * c_in * jnp.dtype(self.dtype).itemsize > 1024
+            paths = ([onehot_window_conv, masked_shift_conv] if wide
+                     else [masked_shift_conv, onehot_window_conv])
+            for fn in paths:
+                out = fn(xd, wd, gm, bd)
+                if out is not None:
+                    return out
         return sparse_conv(
             xd, wd, idx, bd,
             center_slot=km.center_slot,

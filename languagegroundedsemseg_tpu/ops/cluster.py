@@ -18,30 +18,61 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def radius_edges_host(
+    points: np.ndarray,
+    radius: float,
+    labels: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Exact radius graph as an (E, 2) undirected edge array (each pair
+    once, u < v), optionally restricted to same-``labels`` pairs (the BFS
+    expands only through equal semantic labels, reference
+    bfs_cluster.cpp:54-101).
+
+    Vectorized cKDTree pair query — the host analog of the reference's
+    ballquery_batch_p CUDA kernel with its adaptive meanActive retry
+    (bfs.py:32-39), which keeps growing the per-point budget until the
+    whole within-radius neighborhood fits; the exact pair set is that
+    loop's fixed point, with no truncation at any density."""
+    from scipy.spatial import cKDTree
+
+    if len(points) == 0:
+        return np.zeros((0, 2), dtype=np.int64)
+    tree = cKDTree(points)
+    pairs = tree.query_pairs(r=radius, output_type="ndarray")
+    if labels is not None and len(pairs):
+        lab = np.asarray(labels)
+        pairs = pairs[lab[pairs[:, 0]] == lab[pairs[:, 1]]]
+    return pairs
+
+
 def radius_graph_host(
     points: np.ndarray,
     radius: float,
     max_neighbors: int,
     labels: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """(N, 3) -> (N, max_neighbors) neighbor indices (-1 padded), optionally
-    restricted to same-``labels`` pairs (the BFS expands only through equal
-    semantic labels, reference bfs_cluster.cpp:54-101)."""
-    from scipy.spatial import cKDTree
-
+    """(N, 3) -> (N, max_neighbors) neighbor indices (-1 padded) — the
+    fixed-shape table the *device* label-propagation path consumes.
+    Built from the exact pair set (radius_edges_host); per-point lists
+    beyond ``max_neighbors`` are truncated, so callers that need exact
+    reference connectivity should cluster via the edge list instead
+    (cluster_points does)."""
     n = len(points)
     out = np.full((n, max_neighbors), -1, dtype=np.int32)
     if n == 0:
         return out
-    tree = cKDTree(points)
-    pairs = tree.query_ball_point(points, r=radius, workers=-1)
-    for i, nbrs in enumerate(pairs):
-        if labels is not None:
-            nbrs = [j for j in nbrs if j != i and labels[j] == labels[i]]
-        else:
-            nbrs = [j for j in nbrs if j != i]
-        k = min(len(nbrs), max_neighbors)
-        out[i, :k] = nbrs[:k]
+    pairs = radius_edges_host(points, radius, labels)
+    if not len(pairs):
+        return out
+    src = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    dst = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    counts = np.bincount(src, minlength=n)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(len(src)) - starts[src]
+    keep = slot < max_neighbors
+    out[src[keep], slot[keep]] = dst[keep]
     return out
 
 
@@ -113,25 +144,40 @@ def cluster_points(
     points: np.ndarray,
     semantic_labels: np.ndarray,
     radius: float = 0.03,
-    max_neighbors: int = 48,
+    max_neighbors: int = 48,  # kept for API compat; exact path ignores it
     min_points: int = 50,
     ignored_mask: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full pipeline -> (component_id per point (-1 = none), num_components).
 
-    Host radius graph + device label propagation; the functional equivalent
-    of ballquery_batch_p + bfs_cluster + min-size filter
-    (reference lib/bfs/bfs.py:107-141).
+    Exact host radius graph (every within-radius same-label pair; the
+    converged state of the reference's adaptive-meanActive ball query) +
+    C-speed union-find components — the reference's bfs_cluster also runs
+    on CPU (lib/bfs/bfs.py:141: tensors moved to .cpu() before the BFS),
+    so this is the same division of labor with no per-point neighbor cap
+    that could split dense components.
     """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components as _cc
+
     n = len(points)
     keep = np.ones(n, dtype=bool) if ignored_mask is None else ~ignored_mask
-    nbr = radius_graph_host(points, radius, max_neighbors, semantic_labels)
-    nbr[~keep] = -1
-    valid = keep.astype(np.int32)
-    comp = np.asarray(connected_components(jnp.asarray(nbr), jnp.asarray(valid)))
-    sizes = np.asarray(component_sizes(jnp.asarray(comp), jnp.asarray(valid), n))
-    comp = np.where((sizes >= min_points) & keep, comp, -1)
-    roots = np.unique(comp[comp >= 0])
-    remap = {r: i for i, r in enumerate(roots)}
-    out = np.array([remap.get(c, -1) for c in comp], dtype=np.int32)
-    return out, len(roots)
+    kept_idx = np.flatnonzero(keep)
+    if len(kept_idx) == 0:
+        return np.full(n, -1, np.int32), 0
+    pts = points[kept_idx]
+    lab = np.asarray(semantic_labels)[kept_idx]
+    pairs = radius_edges_host(pts, radius, lab)
+    m = len(kept_idx)
+    adj = coo_matrix(
+        (np.ones(len(pairs), np.int8), (pairs[:, 0], pairs[:, 1])),
+        shape=(m, m),
+    )
+    _, comp_k = _cc(adj, directed=False)
+    sizes = np.bincount(comp_k)
+    ok = sizes[comp_k] >= min_points
+    # densify surviving component ids in first-occurrence order
+    uniq, inv = np.unique(comp_k[ok], return_inverse=True)
+    out = np.full(n, -1, np.int32)
+    out[kept_idx[ok]] = inv
+    return out, len(uniq)

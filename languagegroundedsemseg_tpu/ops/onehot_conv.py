@@ -37,9 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from languagegroundedsemseg_tpu.ops.msconv import (
     MSMeta,
-    _leftover_fwd,
     _mirror_w,
+    _ov_dw_pieces,
+    _ov_fwd,
     _t3,
+    _wstack,
 )
 
 TILE = 1024     # output rows per grid step
@@ -65,9 +67,9 @@ def _pad128(c: int) -> int:
     return -(-c // 128) * 128
 
 
-def _t3_padded(x, mp, mn, cw_pad: int, rows_pad: int):
+def _t3_padded(t3, cw_pad: int, rows_pad: int):
     """Masked-shift table in bf16, channel- and row-padded for DMA tiling."""
-    t = _t3(x, mp, mn)[:-1]  # (cap, 3C); guards never match the iota
+    t = t3[:-1]  # (cap, 3C); guards never match the iota
     cap, cw = t.shape
     t = jnp.pad(t, ((0, rows_pad - cap), (0, cw_pad - cw)))
     return t.astype(jnp.bfloat16)
@@ -236,39 +238,40 @@ def _run_dw(wstart, anchors, t3p, gout, n_tiles, cap, cw_pad, c_out,
 class OHMeta(NamedTuple):
     cols: Tuple[Tuple[int, int, int], ...]
     mirror_perm: Tuple[int, ...]
-    lo_slots: Tuple[int, ...]
     groups: Tuple[int, int, int]  # columns per dx group (center group first)
-    seg_cap: int
+    ov_seg: int
     interpret: bool
 
 
 def _ms_meta(meta: OHMeta) -> MSMeta:
-    return MSMeta(meta.cols, meta.mirror_perm, meta.lo_slots, meta.seg_cap)
+    return MSMeta(meta.cols, meta.mirror_perm, meta.ov_seg)
 
 
-def _oh_fwd_impl(x, w, mp, mn, anchors, wstart, lo_in, lo_out, lo_slot,
-                 lo_off, meta: OHMeta):
+def _oh_fwd_impl(x, w, mp, mn, mc, anchors, wstart, ov_in, ov_out, ov_off,
+                 meta: OHMeta):
     cap, c = x.shape
     c_out = w.shape[2]
     cw_pad = _pad128(3 * c)
     n_tiles = cap // TILE
     rows_pad = cap + WIN  # window starts are clamped to <= cap
-    t3p = _t3_padded(x, mp, mn, cw_pad, rows_pad)
+    t3 = _t3(x, mp, mn, mc)
+    t3p = _t3_padded(t3, cw_pad, rows_pad)
     wstk = _stack_w_padded(w, meta.cols, cw_pad, jnp.bfloat16)
     acc = _run_fwd(wstart, anchors, t3p, wstk, n_tiles, cap, c_out,
                    meta.groups, interpret=meta.interpret)
-    acc = acc + _leftover_fwd(x, w, lo_in, lo_out, lo_slot, lo_off,
-                              meta.lo_slots, cap, c_out, meta.seg_cap)
-    return acc
+    acc = acc + _ov_fwd(t3, _wstack(w, meta.cols), ov_in, ov_out, ov_off,
+                        cap, c_out, meta.ov_seg)
+    return acc * mc[:, None]
 
 
-def _oh_dw_impl(x, g32, mp, mn, anchors, wstart, lo_in, lo_out, lo_slot,
-                lo_off, meta: OHMeta, k_num):
+def _oh_dw_impl(x, g32, mp, mn, mc, anchors, wstart, ov_in, ov_out, ov_off,
+                meta: OHMeta, k_num):
     cap, c = x.shape
     c_out = g32.shape[1]
     cw_pad = _pad128(3 * c)
     n_tiles = cap // TILE
-    t3p = _t3_padded(x, mp, mn, cw_pad, cap + WIN)
+    t3 = _t3(x, mp, mn, mc)
+    t3p = _t3_padded(t3, cw_pad, cap + WIN)
     dws = _run_dw(wstart, anchors, t3p, g32.astype(jnp.float32), n_tiles,
                   cap, cw_pad, c_out, meta.groups, interpret=meta.interpret)
     dw = [None] * k_num
@@ -276,48 +279,35 @@ def _oh_dw_impl(x, g32, mp, mn, anchors, wstart, lo_in, lo_out, lo_slot,
         for j, k in enumerate((ka, kb, kc)):
             piece = dws[gi, j * c:(j + 1) * c]
             dw[k] = piece if dw[k] is None else dw[k] + piece
-    # leftover dW (slot-major segments, same scheme as msconv)
-    xg = jnp.concatenate([x, jnp.zeros((1, c), x.dtype)], axis=0)
-    gl = jnp.take(xg, lo_in, axis=0).astype(jnp.float32)
-    g_pad = jnp.concatenate([g32, jnp.zeros((1, c_out), jnp.float32)], axis=0)
-    go = jnp.take(g_pad, lo_out, axis=0)
-    seg_cap = meta.seg_cap
-    row = jnp.arange(seg_cap)[:, None]
-    for j, k in enumerate(meta.lo_slots):
-        off = lo_off[j]
-        length = lo_off[j + 1] - off
-        sg = jax.lax.dynamic_slice(gl, (off, 0), (seg_cap, c))
-        so = jax.lax.dynamic_slice(go, (off, 0), (seg_cap, c_out))
-        sg = jnp.where(row < length, sg, 0.0)
-        dk = jax.lax.dot_general(
-            sg, so,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dw[k] = dk if dw[k] is None else dw[k] + dk
+    for gi, dcol in _ov_dw_pieces(t3, g32, ov_in, ov_out, ov_off,
+                                  len(meta.cols) - 1, meta.ov_seg):
+        ka, kb, kc = meta.cols[gi + 1]
+        for j, k in enumerate((ka, kb, kc)):
+            dw[k] = dw[k] + dcol[j * c:(j + 1) * c]
     zero = jnp.zeros((c, c_out), jnp.float32)
     return jnp.stack([zero if d is None else d for d in dw])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
-def _oh_core(x, w, mp, mn, anchors, wstart, lo_in, lo_out, lo_slot, lo_off, meta):
-    return _oh_fwd_impl(x, w, mp, mn, anchors, wstart, lo_in, lo_out,
-                        lo_slot, lo_off, meta).astype(x.dtype)
+def _oh_core(x, w, mp, mn, mc, anchors, wstart, ov_in, ov_out, ov_off, meta):
+    return _oh_fwd_impl(x, w, mp, mn, mc, anchors, wstart, ov_in, ov_out,
+                        ov_off, meta).astype(x.dtype)
 
 
-def _oh_fwd(x, w, mp, mn, anchors, wstart, lo_in, lo_out, lo_slot, lo_off, meta):
-    out = _oh_fwd_impl(x, w, mp, mn, anchors, wstart, lo_in, lo_out,
-                       lo_slot, lo_off, meta).astype(x.dtype)
-    return out, (x, w, mp, mn, anchors, wstart, lo_in, lo_out, lo_slot, lo_off)
+def _oh_fwd(x, w, mp, mn, mc, anchors, wstart, ov_in, ov_out, ov_off, meta):
+    out = _oh_fwd_impl(x, w, mp, mn, mc, anchors, wstart, ov_in, ov_out,
+                       ov_off, meta).astype(x.dtype)
+    return out, (x, w, mp, mn, mc, anchors, wstart, ov_in, ov_out, ov_off)
 
 
 def _oh_bwd(meta: OHMeta, res, g_out):
-    x, w, mp, mn, anchors, wstart, lo_in, lo_out, lo_slot, lo_off = res
+    x, w, mp, mn, mc, anchors, wstart, ov_in, ov_out, ov_off = res
     g32 = g_out.astype(jnp.float32)
     wt = _mirror_w(w, _ms_meta(meta))
-    dx = _oh_fwd_impl(g32, wt, mp, mn, anchors, wstart, lo_in, lo_out,
-                      lo_slot, lo_off, meta)
-    dw = _oh_dw_impl(x, g32, mp, mn, anchors, wstart, lo_in, lo_out,
-                     lo_slot, lo_off, meta, w.shape[0])
+    dx = _oh_fwd_impl(g32, wt, mp, mn, mc, anchors, wstart, ov_in, ov_out,
+                      ov_off, meta)
+    dw = _oh_dw_impl(x, g32 * mc[:, None], mp, mn, mc, anchors, wstart,
+                     ov_in, ov_out, ov_off, meta, w.shape[0])
     return (dx.astype(x.dtype), dw.astype(w.dtype)) + (None,) * 8
 
 
@@ -341,12 +331,11 @@ def onehot_window_conv(x, w, msmap, bias=None, interpret=None):
     if cap % TILE or cap // TILE != msmap.wstart.shape[0] // N_GROUPS:
         return None
     meta = OHMeta(tuple(msmap.cols), tuple(msmap.mirror_perm),
-                  tuple(msmap.lo_slots), tuple(msmap.col_groups),
-                  int(msmap.seg_cap), interpret)
+                  tuple(msmap.col_groups), int(msmap.ov_seg), interpret)
     out = _oh_core(
-        x, w, msmap.mp, msmap.mn, msmap.anchors, msmap.wstart,
-        msmap.lo_in, msmap.lo_out, msmap.lo_slot, msmap.lo_off, meta,
+        x, w, msmap.mp, msmap.mn, msmap.mc, msmap.anchors, msmap.wstart,
+        msmap.ov_in, msmap.ov_out, msmap.ov_off, meta,
     )
     if bias is not None:
-        out = out + bias
+        out = out + bias * msmap.mc[:, None]
     return out

@@ -45,15 +45,23 @@ def _split_center(w, idx, center):
     return wc, w_rest, idx_rest
 
 
+def _center_masked(x, idx, center):
+    """x with rows whose center-slot entry is missing zeroed — padding AND
+    sentinel rows (sparse/graph_host.py:expand_sentinels) may carry nonzero
+    features, and the center fast path must not leak them."""
+    return jnp.where((idx[center] >= 0)[:, None], x, jnp.zeros((), x.dtype))
+
+
 def _conv_fwd_impl(x, w, idx, center):
     n_out = idx.shape[1]
     c_out = w.shape[2]
     wc, w_rest, idx_rest = _split_center(w, idx, center)
 
     if wc is not None:
-        # Center slot of a stride-1 kernel maps each row to itself: a plain
-        # matmul, no gather. (Padding rows carry x's padding — zeros.)
-        acc0 = jnp.dot(x, wc, preferred_element_type=jnp.float32)
+        # Center slot of a stride-1 kernel maps each valid row to itself: a
+        # plain masked matmul, no gather (XLA fuses the select).
+        acc0 = jnp.dot(_center_masked(x, idx, center), wc,
+                       preferred_element_type=jnp.float32)
     else:
         acc0 = jnp.zeros((n_out, c_out), dtype=jnp.float32)
 
@@ -78,8 +86,12 @@ def _conv_bwd(center, res, g_out):
     wc, w_rest, idx_rest = _split_center(w, idx, center)
 
     if wc is not None:
-        dx0 = jnp.dot(g32, wc.astype(jnp.float32).T, preferred_element_type=jnp.float32)
-        dwc = jnp.dot(x.astype(jnp.float32).T, g32, preferred_element_type=jnp.float32)
+        gc = _center_masked(g32, idx, center)
+        dx0 = jnp.dot(gc, wc.astype(jnp.float32).T, preferred_element_type=jnp.float32)
+        dwc = jnp.dot(
+            _center_masked(x, idx, center).astype(jnp.float32).T, g32,
+            preferred_element_type=jnp.float32,
+        )
     else:
         dx0 = jnp.zeros((n_in, x.shape[1]), dtype=jnp.float32)
         dwc = None
@@ -185,7 +197,10 @@ def _conv_mirror_bwd(center, mirror_perm, res, g_out):
 
     _, dw_rest = lax.scan(step, None, (w_rest, idx_rest))
     if wc_dummy is not None:
-        dwc = jnp.dot(x.astype(jnp.float32).T, g32, preferred_element_type=jnp.float32)
+        dwc = jnp.dot(
+            _center_masked(x, idx, center).astype(jnp.float32).T, g32,
+            preferred_element_type=jnp.float32,
+        )
         dw = jnp.concatenate([dw_rest[:center], dwc[None], dw_rest[center:]], axis=0)
     else:
         dw = dw_rest

@@ -325,38 +325,18 @@ def _group_offset_runs(offs: np.ndarray, z_step: int, w_max: int = 5):
                 groups.append(([dz for dz, _ in chunk], [k for _, k in chunk]))
     return groups
 
-
-def _try_masked_shift_map(
-    idx: np.ndarray,
-    offs: np.ndarray,
-    z_step: int,
-    width: int,
-    n_in: int,
-    mirror_perm=None,
-    companion=None,
-    leftover_ratio: float = 1.6,
-) -> "Optional[MaskedShiftMap]":
-    """Fuse a flat stride-1 k3 map into a MaskedShiftMap (ops/msconv.py),
-    or None when the map's shape doesn't fit (non-3-z-columns, asymmetric
-    region, in != out sets), the sorted z-contiguity invariant fails, or
-    the leftover COO overflows leftover_ratio * cap (defensive fallbacks —
-    the flat path is always correct).
-
-    Everything derives from the flat table itself: a column's anchors are
-    its dz=0 slot's rows; mp/mn come from the center column's dz=-1/+1
-    slots (whose valid entries are exactly the physically-adjacent rows,
-    asserted here); leftovers are the (o, c) pairs whose dz=0 entry is
-    missing but a dz=+-1 entry exists.
-    """
-    if int(width) < 3 or mirror_perm is None:
-        return None
+def _k3_column_layout(offs: np.ndarray, z_step: int):
+    """Decompose a stride-1 k3 region into its center column and the 8
+    non-center (dx, dy) columns (slot triples in ascending dz), ordered for
+    the one-hot window kernel: dx == 0 first, then dx < 0, then dx > 0.
+    Returns (center_col, cols, windowable) or None when the region is not
+    a full 3-wide-z hypercube."""
     groups = _group_offset_runs(offs, z_step, w_max=3)
     if any(len(ks) != 3 for _, ks in groups):
         return None
-    cap = idx.shape[1]
     center_col = None
-    col_list = []  # (dx_sign, dy, slots)
-    for dzs, ks in groups:
+    col_list = []
+    for _, ks in groups:
         col_off = offs[ks[1]][:-1]
         if not col_off.any():
             center_col = tuple(int(k) for k in ks)
@@ -366,23 +346,250 @@ def _try_masked_shift_map(
             col_list.append((dx, dy, tuple(int(k) for k in ks)))
     if center_col is None:
         return None
-    # dx-group order for the one-hot window kernel (ops/onehot_conv.py):
-    # center group (dx == 0, center first), then dx < 0, then dx > 0
     col_list.sort(key=lambda t: ({0: 0, -1: 1, 1: 2}.get(t[0], 3), t[1]))
     cols = [ks for _, _, ks in col_list]
     group_sizes = [1, 0, 0]
     for dx, _, _ in col_list:
         group_sizes[{0: 0, -1: 1, 1: 2}.get(dx, 0)] += 1
     windowable = len(cols) == 8 and tuple(group_sizes) == (3, 3, 3)
+    return center_col, cols, windowable
+
+
+def _sentinel_plan(idx: np.ndarray, offs: np.ndarray, z_step: int, num: int):
+    """Plan the sentinel zero rows a level needs so its stride-1 k3 map can
+    fuse leftover-free (ops/msconv.py): for every output whose dz=0
+    neighbor is missing but a dz=+-1 neighbor exists, a zero row at that
+    run boundary (with masks exposing exactly the true neighbors) lets the
+    fused path serve the contribution with its one anchored gather.
+
+    Returns (ins_pos, ins_mp, ins_mn) — insert j goes after row ins_pos[j]
+    (-1 = before row 0), sorted ascending with at most [bottom, top] two
+    rows per boundary — or None when the map shape doesn't decompose.
+
+    Demand kinds per (output, column), from the flat map's slot triples:
+      combined  dz=-1 and dz=+1 exist (size-1 z-hole, rows adjacent):
+                one row, mp=mn=1 -> [x[r] | 0 | x[r+1]].
+      bottom    only dz=-1 (row r = top of a run): mp=1, mn=0.
+      top       only dz=+1 (row c = start of a run): mp=0, mn=1.
+    A combined boundary can host no bottom/top-only demand (the size-1 hole
+    forces every demand there to see both neighbors), so the allocation is
+    conflict-free; bottom-only and top-only at one boundary get two rows
+    in that order, matching the anchor rules a+1 / c-1 in the fuse pass.
+    """
+    layout = _k3_column_layout(offs, z_step)
+    if layout is None:
+        return None
+    _, cols, _ = layout
+    both_set: set = set()
+    bot_set: set = set()
+    top_set: set = set()
+    for kA, kB, kC in cols:
+        a = idx[kA][:num].astype(np.int64)
+        b = idx[kB][:num].astype(np.int64)
+        c = idx[kC][:num].astype(np.int64)
+        av, bv, cv = a >= 0, b >= 0, c >= 0
+        both = av & cv & ~bv
+        if np.any(both):
+            ab, cb = a[both], c[both]
+            if np.any(cb != ab + 1):
+                return None  # size-1 hole rows must be physically adjacent
+            both_set.update(ab.tolist())
+        bot_set.update(a[av & ~cv & ~bv].tolist())
+        top_set.update((c[cv & ~av & ~bv] - 1).tolist())
+    # combined boundaries exclude one-sided demands (see docstring); if the
+    # invariant is ever violated, bail out rather than mis-serve
+    if both_set & (bot_set | top_set):
+        return None
+    pos, mps, mns = [], [], []
+    for p in sorted(both_set | bot_set | top_set):
+        if p in both_set:
+            pos.append(p); mps.append(1.0); mns.append(1.0)
+        else:
+            if p in bot_set:
+                pos.append(p); mps.append(1.0); mns.append(0.0)
+            if p in top_set:
+                pos.append(p); mps.append(0.0); mns.append(1.0)
+    return (np.asarray(pos, np.int64), np.asarray(mps, np.float32),
+            np.asarray(mns, np.float32))
+
+
+def expand_sentinels(
+    spec: "GraphSpec",
+    capacities: Sequence[int],
+    kept_coords: list,
+    nums: list,
+    maps_idx: Dict[str, np.ndarray],
+) -> list:
+    """Interleave sentinel zero rows into each level's row layout and remap
+    every kernel map into the expanded index space.
+
+    For each level with a fusable stride-1 k3 map, plans the sentinel rows
+    (_sentinel_plan), inserts them at their sorted positions (so anchors
+    stay local for the windowed kernels), and rewrites all maps' input
+    values and output columns. Mutates kept_coords / nums / maps_idx.
+
+    Returns per-level dicts {new_pos, is_sent, mp_s, mn_s, valid, num} (or
+    None for levels that were not expanded — no k3 map, no demand, or the
+    sentinel rows would overflow the level capacity, in which case the k3
+    map simply stays on the flat path).
+    """
+    n_levels = spec.num_levels
+    old_nums = list(nums)
+    info: list = [None] * n_levels
+
+    k3_by_level = {}
+    for name, ms in spec.maps.items():
+        ks = ms.kind.kernel_size if isinstance(ms.kind.kernel_size, int) else max(ms.kind.kernel_size)
+        if (not ms.kind.transpose and ms.kind.stride == 1
+                and ms.level_in == ms.level_out and ms.fuse_width >= 2
+                and ks % 2 == 1 and ks > 1):
+            k3_by_level.setdefault(ms.level_in, (name, ms))
+
+    d = spec.d
+    for l in range(n_levels):
+        if l not in k3_by_level:
+            continue
+        name, ms = k3_by_level[l]
+        stride = (1 << l) if d == 3 else 1  # d=4: temporal axis is fastest, stride 1
+        offs = region_offsets(ms.kind.region, ms.kind.kernel_size,
+                              ms.kind.dilation,
+                              (1 << l) if d == 3 else ((1 << l),) * 3 + (1,), d)
+        num = old_nums[l]
+        plan = _sentinel_plan(maps_idx[name], offs, stride, num)
+        if plan is None:
+            continue
+        ins_pos, ins_mp, ins_mn = plan
+        s_count = len(ins_pos)
+        cap = capacities[l]
+        if s_count == 0 or num + s_count > cap:
+            continue
+        # new position of real row i: i + #{inserts at positions < i}
+        new_pos = (np.arange(num, dtype=np.int64)
+                   + np.searchsorted(ins_pos, np.arange(num, dtype=np.int64)))
+        sent_rows = ins_pos + 1 + np.arange(s_count, dtype=np.int64)
+        is_sent = np.zeros(cap, bool)
+        is_sent[sent_rows] = True
+        mp_s = np.zeros(cap, np.float32)
+        mn_s = np.zeros(cap, np.float32)
+        mp_s[sent_rows] = ins_mp
+        mn_s[sent_rows] = ins_mn
+        valid = np.zeros(cap, np.float32)
+        valid[new_pos] = 1.0
+        coords_new = np.zeros((cap,) + kept_coords[l].shape[1:],
+                              kept_coords[l].dtype)
+        coords_new[new_pos] = kept_coords[l][:num]
+        # sentinel rows inherit the boundary's left real row's coords (for
+        # batch grouping; the valid mask excludes them from every statistic)
+        src = np.clip(ins_pos, 0, max(num - 1, 0))
+        coords_new[sent_rows] = kept_coords[l][src]
+        kept_coords[l] = coords_new
+        nums[l] = num + s_count
+        info[l] = dict(new_pos=new_pos.astype(np.int32), is_sent=is_sent,
+                       mp_s=mp_s, mn_s=mn_s, valid=valid, num=num + s_count)
+
+    if all(v is None for v in info):
+        return info
+
+    for name, ms in spec.maps.items():
+        in_info, out_info = info[ms.level_in], info[ms.level_out]
+        if in_info is None and out_info is None:
+            continue
+        idx = maps_idx[name]
+        n_out_old = old_nums[ms.level_out]
+        vals = idx[:, :n_out_old].astype(np.int64)
+        ok = vals >= 0
+        if in_info is not None:
+            vals = np.where(ok, in_info["new_pos"][np.clip(vals, 0, None)], -1)
+        if out_info is not None:
+            new_idx = np.full_like(idx, -1)
+            new_idx[:, out_info["new_pos"]] = np.where(ok, vals, -1).astype(np.int32)
+            maps_idx[name] = new_idx
+        else:
+            idx[:, :n_out_old] = np.where(ok, vals, -1).astype(np.int32)
+    return info
+
+
+# One-hot window kernel geometry (must match ops/onehot_conv.py); the window
+# annotation below routes anchors the kernel cannot reach into the small
+# overflow COO (and guards them in the anchors array so no path double
+# counts) instead of disabling the kernel outright.
+def _window_annotation(anchors, cap):
+    from languagegroundedsemseg_tpu.ops.onehot_conv import N_GROUPS, TILE, WIN
+
+    if cap % TILE or cap < 4 * TILE:
+        return np.zeros(0, np.int32), None
+    n_tiles = cap // TILE
+    ws = np.zeros((n_tiles, N_GROUPS), np.int32)
+    group_cols = [[-1, 0, 1], [2, 3, 4], [5, 6, 7]]  # -1 = identity/center
+    ov = []  # (col gi, out row, anchor row)
+    for t in range(n_tiles):
+        sl = slice(t * TILE, (t + 1) * TILE)
+        for g, members in enumerate(group_cols):
+            vals = [np.arange(t * TILE, (t + 1) * TILE)[:1]] if g == 0 else []
+            for ci in members:
+                if ci < 0:
+                    continue
+                av_ = anchors[ci, sl]
+                vals.append(av_[av_ < cap])
+            allv = np.concatenate(vals) if vals else np.zeros(0, np.int64)
+            if len(allv) == 0:
+                ws[t, g] = max(0, min(t * TILE, cap))
+                continue
+            med = int(np.median(allv))
+            w0 = int(np.clip(med - WIN // 2, 0, cap)) & ~7
+            if g == 0:
+                # must cover the identity rows [tT, (t+1)T)
+                w0 = int(np.clip(w0, (t + 1) * TILE - WIN, t * TILE)) & ~7
+                w0 = max(w0, 0)
+            ws[t, g] = w0
+            for ci in members:
+                if ci < 0:
+                    continue
+                av_ = anchors[ci, sl].astype(np.int64)
+                bad = (av_ < cap) & ((av_ < w0) | (av_ >= w0 + WIN))
+                for o, a in zip(np.nonzero(bad)[0] + t * TILE, av_[bad]):
+                    ov.append((ci, o, a))
+                anchors[ci, np.nonzero(bad)[0] + t * TILE] = cap
+    return ws.reshape(-1), ov
+
+
+def _try_masked_shift_map(
+    idx: np.ndarray,
+    offs: np.ndarray,
+    z_step: int,
+    width: int,
+    n_in: int,
+    mirror_perm=None,
+    companion=None,
+    sent: Optional[dict] = None,
+) -> "Optional[MaskedShiftMap]":
+    """Fuse a flat stride-1 k3 map into a MaskedShiftMap (ops/msconv.py),
+    or None when the map's shape doesn't fit (non-3-z-columns, asymmetric
+    region, in != out sets), the sorted z-contiguity invariant fails, or a
+    gap output has no sentinel row to anchor (level not expanded) — the
+    flat path is always correct, so every check fails safe.
+
+    Everything derives from the flat table itself: a column's anchors are
+    its dz=0 slot's rows (or the boundary sentinel row when dz=0 is
+    missing — see expand_sentinels); mp/mn come from the center column's
+    dz=-1/+1 slots, OR-ed with the sentinel masks; mc is the level's
+    real-row mask (zeroes the center third at sentinel/pad rows).
+    """
+    if int(width) < 3 or mirror_perm is None:
+        return None
+    layout = _k3_column_layout(offs, z_step)
+    if layout is None:
+        return None
+    center_col, cols, windowable = layout
+    cap = idx.shape[1]
 
     kAc, kBc, kCc = center_col
-    # center dz=0 must be the identity (in == out coordinate sets)
-    vB = idx[kBc] >= 0
     rows = np.arange(cap, dtype=np.int64)
-    n_valid = int(vB.sum())
-    if not np.array_equal(np.nonzero(vB)[0], rows[:n_valid]):
+    # center dz=0 must be the identity over real rows (in == out sets)
+    vB = idx[kBc] >= 0
+    if np.any(idx[kBc][vB] != rows[vB]):
         return None
-    if np.any(idx[kBc][:n_valid] != rows[:n_valid]):
+    if sent is not None and np.any(vB != (sent["valid"] > 0)):
         return None
     # masks from the center column's z-neighbors; assert physical adjacency
     a = idx[kAc].astype(np.int64)
@@ -391,21 +598,20 @@ def _try_masked_shift_map(
         return None
     mp = (a >= 0).astype(np.float32)
     mn = (c >= 0).astype(np.float32)
+    if sent is not None:
+        mp = np.maximum(mp, sent["mp_s"])
+        mn = np.maximum(mn, sent["mn_s"])
+        is_sent = sent["is_sent"]
+        mc = sent["valid"].astype(np.float32)
+    else:
+        is_sent = np.zeros(cap, bool)
+        mc = vB.astype(np.float32)
 
     anchors = np.empty((len(cols), cap), np.int32)
-    lo_in, lo_out, lo_slot = [], [], []
-
-    def route_coo(out_rows, in_rows, slot):
-        lo_out.append(out_rows)
-        lo_in.append(in_rows)
-        lo_slot.append(np.full(len(out_rows), slot, np.int32))
-
     for gi, (kA, kB, kC) in enumerate(cols):
         b = idx[kB].astype(np.int64)
-        bv = b >= 0
-        anchors[gi] = np.where(bv, b, cap).astype(np.int32)
+        av, bv, cv = idx[kA] >= 0, b >= 0, idx[kC] >= 0
         # anchored triples read physical neighbors; contiguity assert
-        av, cv = idx[kA] >= 0, idx[kC] >= 0
         if np.any(av & bv & (idx[kA] != b - 1)) or np.any(cv & bv & (idx[kC] != b + 1)):
             return None
         # the masks must not zero a true co-valid neighbor at the anchor
@@ -413,98 +619,91 @@ def _try_masked_shift_map(
             return None
         if np.any(cv & bv & (mn[np.where(bv, b, 0)] == 0)):
             return None
-        for kk, vv in ((kA, av & ~bv), (kC, cv & ~bv)):
-            o = np.nonzero(vv)[0]
-            route_coo(o, idx[kk][o].astype(np.int64), kk)
+        # gap outputs anchor the boundary sentinel: a+1 (bottom/combined)
+        # or c-1 (top-only); verify the sentinel masks serve exactly them
+        gapL = av & ~bv
+        gapR = cv & ~av & ~bv
+        if (gapL.any() or gapR.any()) and sent is None:
+            return None
+        anc = np.where(bv, b, cap)
+        if gapL.any():
+            s_ = idx[kA][gapL].astype(np.int64) + 1
+            if np.any(~is_sent[s_]) or np.any(mp[s_] == 0):
+                return None
+            # combined demands also need the right third live at the sentinel
+            comb = gapL & cv
+            if comb.any():
+                sc = idx[kA][comb].astype(np.int64) + 1
+                if np.any(mn[sc] == 0) or np.any(idx[kC][comb] != sc + 1):
+                    return None
+            only = gapL & ~cv
+            if only.any():
+                so = idx[kA][only].astype(np.int64) + 1
+                if np.any(mn[so] != 0):
+                    return None
+            anc = np.where(gapL, idx[kA] + 1, anc)
+        if gapR.any():
+            s_ = idx[kC][gapR].astype(np.int64) - 1
+            if np.any(~is_sent[s_]) or np.any(mn[s_] == 0) or np.any(mp[s_] != 0):
+                return None
+            anc = np.where(gapR, idx[kC] - 1, anc)
+        anchors[gi] = anc.astype(np.int32)
 
-    # ---- one-hot window annotation (ops/onehot_conv.py) --------------------
-    from languagegroundedsemseg_tpu.ops.onehot_conv import N_GROUPS, TILE, WIN
+    # ---- overflow COO: anchors the windowed paths cannot reach ------------
+    # (a) globally: |anchor - out| > GWIN_MARGIN breaks the windowed-gather
+    # variant's bound (ops/msconv.py); (b) per tile: outside the one-hot
+    # kernel's window (ops/onehot_conv.py). Routed entries are guarded in
+    # the anchors array, so every path adds the ov term exactly once.
+    from languagegroundedsemseg_tpu.ops.msconv import GWIN_MARGIN
+
+    ov_entries = []
+    for gi in range(len(cols)):
+        av_ = anchors[gi].astype(np.int64)
+        far = (av_ < cap) & (np.abs(av_ - rows) > GWIN_MARGIN)
+        for o, a_row in zip(np.nonzero(far)[0], av_[far]):
+            ov_entries.append((gi, int(o), int(a_row)))
+        anchors[gi][far] = cap
 
     wstart = np.zeros(0, np.int32)
-    if windowable and cap % TILE == 0 and cap >= 4 * TILE:
-        n_tiles = cap // TILE
-        ws = np.zeros((n_tiles, N_GROUPS), np.int32)
-        group_cols = [[-1, 0, 1], [2, 3, 4], [5, 6, 7]]  # -1 = identity/center
-        for t in range(n_tiles):
-            sl = slice(t * TILE, (t + 1) * TILE)
-            for g, members in enumerate(group_cols):
-                vals = [np.arange(t * TILE, (t + 1) * TILE)[:1]] if g == 0 else []
-                for ci in members:
-                    if ci < 0:
-                        continue
-                    av_ = anchors[ci, sl]
-                    vals.append(av_[av_ < cap])
-                allv = np.concatenate(vals) if vals else np.zeros(0, np.int64)
-                if len(allv) == 0:
-                    ws[t, g] = max(0, min(t * TILE, cap))
-                    continue
-                med = int(np.median(allv))
-                w0 = int(np.clip(med - WIN // 2, 0, cap)) & ~7
-                if g == 0:
-                    # must cover the identity rows [tT, (t+1)T)
-                    w0 = int(np.clip(w0, (t + 1) * TILE - WIN, t * TILE)) & ~7
-                    w0 = max(w0, 0)
-                ws[t, g] = w0
-                # route out-of-window anchors to the COO (they read zero pad
-                # rows in the kernel, so no double counting)
-                for ci in members:
-                    if ci < 0:
-                        continue
-                    av_ = anchors[ci, sl].astype(np.int64)
-                    bad = (av_ < cap) & ((av_ < w0) | (av_ >= w0 + WIN))
-                    if bad.any():
-                        o = np.nonzero(bad)[0] + t * TILE
-                        bvals = av_[bad]
-                        kA, kB, kC = cols[ci]
-                        route_coo(o, bvals, kB)
-                        has_a = mp[bvals] > 0
-                        if has_a.any():
-                            route_coo(o[has_a], bvals[has_a] - 1, kA)
-                        has_c = mn[bvals] > 0
-                        if has_c.any():
-                            route_coo(o[has_c], bvals[has_c] + 1, kC)
-                        anchors[ci, o] = cap
-        wstart = ws.reshape(-1)
+    ov_cap = max(128, (cap // 16 + 127) // 128 * 128)
+    if windowable:
+        anchors_w = anchors.copy()
+        wstart, ov_w = _window_annotation(anchors_w, cap)
+        if ov_w is not None and len(ov_entries) + len(ov_w) <= ov_cap:
+            anchors = anchors_w
+            ov_entries += ov_w
+        elif ov_w is not None:
+            wstart = np.zeros(0, np.int32)  # too many outliers: gather only
+    if len(ov_entries) > ov_cap:
+        return None  # pathological outlier count: flat fallback
+    n_cols = len(cols)
+    ov_off = np.zeros(n_cols + 1, np.int32)
+    if ov_entries:
+        ov_entries.sort()
+        gis = np.array([e[0] for e in ov_entries])
+        ov_out = np.array([e[1] for e in ov_entries], np.int64)
+        ov_in = np.array([e[2] for e in ov_entries], np.int64)
+        counts = np.bincount(gis, minlength=n_cols)
+        ov_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        ov_seg = ov_cap
+        pad = ov_cap + ov_seg - len(ov_out)
+        ov_out = np.concatenate([ov_out, np.full(pad, cap)]).astype(np.int32)
+        ov_in = np.concatenate([ov_in, np.full(pad, cap)]).astype(np.int32)
+    else:
+        ov_out = np.zeros(0, np.int32)
+        ov_in = np.zeros(0, np.int32)
+        ov_seg = ov_cap
 
-    # ---- slot-major COO layout (ops/msconv.py:_leftover_fwd) ---------------
-    # segments ordered by lo_slots; any segment bounded by seg_cap (static);
-    # tail padded by seg_cap guard rows so dynamic slices never clamp.
-    lo_slots = tuple(sorted({int(k) for ks in cols for k in (ks[0], ks[1], ks[2])}))
-    cap_l = int(leftover_ratio * cap)
-    seg_cap = max(1024, -(-cap_l // 8) // 128 * 128)
-    lo_out = np.concatenate(lo_out) if lo_out else np.zeros(0, np.int64)
-    lo_in = np.concatenate(lo_in) if lo_in else np.zeros(0, np.int64)
-    lo_slot = np.concatenate(lo_slot) if lo_slot else np.zeros(0, np.int32)
-    if len(lo_out) > cap_l:
-        return None  # denser than the static leftover budget: flat fallback
-    slot_rank = {k: j for j, k in enumerate(lo_slots)}
-    order = np.lexsort((lo_out, np.vectorize(slot_rank.get)(lo_slot)
-                        if len(lo_slot) else lo_slot))
-    lo_out, lo_in, lo_slot = lo_out[order], lo_in[order], lo_slot[order]
-    counts = np.bincount(
-        np.vectorize(slot_rank.get)(lo_slot).astype(np.int64)
-        if len(lo_slot) else np.zeros(0, np.int64),
-        minlength=len(lo_slots),
-    )
-    if counts.max(initial=0) > seg_cap:
-        return None  # one slot denser than the static segment bound
-    lo_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-    pad = cap_l + seg_cap - len(lo_out)
-    lo_out = np.concatenate([lo_out, np.full(pad, cap)]).astype(np.int32)
-    lo_in = np.concatenate([lo_in, np.full(pad, n_in)]).astype(np.int32)
-    lo_slot = np.concatenate([lo_slot, np.full(pad, -1)]).astype(np.int32)
     return MaskedShiftMap(
-        mp=mp, mn=mn, anchors=anchors,
-        lo_in=lo_in, lo_out=lo_out, lo_slot=lo_slot, lo_off=lo_off,
+        mp=mp, mn=mn, mc=mc, anchors=anchors,
+        ov_in=ov_in, ov_out=ov_out, ov_off=ov_off,
         wstart=wstart,
         cols=tuple([center_col] + cols),
         mirror_perm=tuple(int(v) for v in mirror_perm),
-        lo_slots=lo_slots,
-        seg_cap=int(seg_cap),
+        ov_seg=int(ov_seg),
         col_groups=(3, 3, 3),
         companion=companion,
     )
-
 
 def dataclasses_replace_pm(pm: ParentMap, companion) -> ParentMap:
     return ParentMap(parent=pm.parent, kslot=pm.kslot, num_slots=pm.num_slots, companion=companion)
@@ -522,6 +721,116 @@ def _try_parent_map(idx: np.ndarray) -> Optional[ParentMap]:
     parent = np.maximum(parent, 0).astype(np.int32)
     return ParentMap(parent=parent, kslot=kslot, num_slots=k)
 
+def _axis_stride(level: int, d: int):
+    """Per-axis tensor stride: the temporal axis (d=4) always has stride 1."""
+    s = 1 << level
+    return s if d == 3 else (s,) * 3 + (1,)
+
+
+def _map_offsets(ms: "MapSpec", spec: "GraphSpec") -> np.ndarray:
+    if ms.kind.transpose:
+        return -region_offsets(
+            ms.kind.region, ms.kind.kernel_size, ms.kind.dilation,
+            _axis_stride(ms.level_out, spec.d), spec.d,
+        )
+    return region_offsets(
+        ms.kind.region, ms.kind.kernel_size, ms.kind.dilation,
+        _axis_stride(ms.level_in, spec.d), spec.d,
+    )
+
+
+def finalize_graph(
+    spec: "GraphSpec",
+    capacities: Sequence[int],
+    kept_coords: list,
+    nums: list,
+    maps_idx: Dict[str, np.ndarray],
+    fuse: bool = True,
+    fuse_grouped: bool = True,
+    drop_redundant: bool = True,
+    layout_out: Optional[dict] = None,
+) -> ConvGraph:
+    """Shared back half of both graph builders (numpy and native): sentinel
+    expansion, fused-map construction, and redundant-flat-map dropping over
+    already-built flat kernel maps.
+
+    kept_coords / nums / maps_idx are the raw (unexpanded) per-level coords,
+    valid counts, and flat (K, cap_out) index tables; they are mutated by the
+    expansion pass. layout_out, if given, receives {'pos0': expanded
+    positions of level-0 real rows, 'sent_counts': per-level sentinel rows}.
+    """
+    sent_info = [None] * spec.num_levels
+    if fuse and fuse_grouped:
+        sent_info = expand_sentinels(spec, capacities, kept_coords, nums, maps_idx)
+    if layout_out is not None:
+        layout_out["pos0"] = (
+            sent_info[0]["new_pos"] if sent_info[0] is not None
+            else np.arange(nums[0], dtype=np.int32)
+        )
+        layout_out["sent_counts"] = [
+            int(si["is_sent"].sum()) if si is not None else 0 for si in sent_info
+        ]
+
+    # valid is always materialized (even when it is just the prefix mask) so
+    # the batch pytree structure is identical whether or not a level was
+    # sentinel-expanded — device stacking and jit caching rely on that.
+    levels = tuple(
+        SparseLevel(
+            coords=_pad_rows(kept_coords[l][: nums[l]], capacities[l], 0),
+            num=np.int32(nums[l]),
+            stride=1 << l,
+            valid=(
+                sent_info[l]["valid"] if sent_info[l] is not None
+                else (np.arange(capacities[l]) < nums[l]).astype(np.float32)
+            ),
+        )
+        for l in range(spec.num_levels)
+    )
+
+    maps, gmaps = {}, {}
+    for name, ms in spec.maps.items():
+        idx = maps_idx[name]
+        offs = _map_offsets(ms, spec)
+        ks_scalar = ms.kind.kernel_size if isinstance(ms.kind.kernel_size, int) else max(ms.kind.kernel_size)
+        center = -1
+        mirror = None
+        stride1_same = (
+            not ms.kind.transpose and ms.kind.stride == 1
+            and ms.level_in == ms.level_out and ks_scalar % 2 == 1
+            and ks_scalar > 1
+        )
+        if stride1_same:
+            zero_rows = np.flatnonzero((offs == 0).all(axis=1))
+            if zero_rows.size == 1:
+                center = int(zero_rows[0])
+            mirror = _mirror_permutation(offs)
+        maps[name] = KernelMap(
+            idx=idx, center_slot=center, mirror_perm=mirror, companion=ms.companion
+        )
+
+        if fuse and ks_scalar > 1:
+            if ms.kind.transpose:
+                pm = _try_parent_map(idx)
+                if pm is not None:
+                    gmaps[name] = dataclasses_replace_pm(pm, ms.companion)
+                    continue
+            if not fuse_grouped or ms.fuse_width < 2 or not stride1_same:
+                continue
+            z_step = (1 << ms.level_in) if spec.d == 3 else 1
+            gm = _try_masked_shift_map(
+                idx, offs, z_step=z_step, width=ms.fuse_width,
+                n_in=capacities[ms.level_in],
+                mirror_perm=mirror, companion=ms.companion,
+                sent=sent_info[ms.level_in],
+            )
+            if gm is not None:
+                gmaps[name] = gm
+
+    if drop_redundant:
+        droppable = {n for n, ms in spec.maps.items() if not ms.keep_flat}
+        _drop_redundant_flat_maps(maps, gmaps, droppable)
+    return ConvGraph(levels=levels, maps=maps, gmaps=gmaps)
+
 
 def build_graph(
     coords0: np.ndarray,
@@ -531,6 +840,7 @@ def build_graph(
     fuse: bool = True,
     fuse_grouped: bool = True,
     drop_redundant: bool = True,
+    layout_out: Optional[dict] = None,
 ) -> ConvGraph:
     """Build the full ConvGraph for one batch.
 
@@ -554,86 +864,23 @@ def build_graph(
         kept_coords.append(c)
         lookups.append(_Lookup(keys_levels[l][:n]))
 
-    levels = tuple(
-        SparseLevel(
-            coords=_pad_rows(kept_coords[l], capacities[l], 0),
-            num=np.int32(nums[l]),
-            stride=1 << l,
-        )
-        for l in range(spec.num_levels)
-    )
-
-    maps, gmaps = {}, {}
-
-    def _ts(stride_int):
-        # per-axis tensor stride: the temporal axis (d=4) always has stride 1
-        return stride_int if spec.d == 3 else (stride_int,) * 3 + (1,)
-
+    maps_idx = {}
     for name, ms in spec.maps.items():
-        stride_in = _ts(1 << ms.level_in)
-        stride_out = _ts(1 << ms.level_out)
-        idx = _kernel_map(
+        maps_idx[name] = _kernel_map(
             out_coords=kept_coords[ms.level_out],
             in_lookup=lookups[ms.level_in],
             kind=ms.kind,
-            stride_in=stride_in,
-            stride_out=stride_out,
+            stride_in=_axis_stride(ms.level_in, spec.d),
+            stride_out=_axis_stride(ms.level_out, spec.d),
             out_capacity=capacities[ms.level_out],
             d=spec.d,
         )
-        # Center-slot fast path: stride-1 odd kernels map the center offset to
-        # the identity — the conv op turns that slot into a gather-free matmul.
-        center = -1
-        mirror = None
-        ks_scalar = ms.kind.kernel_size if isinstance(ms.kind.kernel_size, int) else max(ms.kind.kernel_size)
-        if (
-            not ms.kind.transpose
-            and ms.kind.stride == 1
-            and ms.level_in == ms.level_out
-            and ks_scalar % 2 == 1
-            and ks_scalar > 1
-        ):
-            offs0 = region_offsets(
-                ms.kind.region, ms.kind.kernel_size, ms.kind.dilation, stride_in, spec.d
-            )
-            zero_rows = np.flatnonzero((offs0 == 0).all(axis=1))
-            if zero_rows.size == 1:
-                center = int(zero_rows[0])
-            mirror = _mirror_permutation(offs0)
-        maps[name] = KernelMap(
-            idx=idx, center_slot=center, mirror_perm=mirror, companion=ms.companion
-        )
 
-        if fuse and ks_scalar > 1:
-            if ms.kind.transpose:
-                pm = _try_parent_map(idx)
-                if pm is not None:
-                    gmaps[name] = dataclasses_replace_pm(pm, ms.companion)
-                    continue
-            if not fuse_grouped or ms.fuse_width < 2:
-                continue
-            if ms.kind.transpose:
-                offs = -region_offsets(
-                    ms.kind.region, ms.kind.kernel_size, ms.kind.dilation, stride_out, spec.d
-                )
-            else:
-                offs = region_offsets(
-                    ms.kind.region, ms.kind.kernel_size, ms.kind.dilation, stride_in, spec.d
-                )
-            if isinstance(stride_in, int) and ms.level_in == ms.level_out:
-                gm = _try_masked_shift_map(
-                    idx, offs, z_step=stride_in, width=ms.fuse_width,
-                    n_in=capacities[ms.level_in],
-                    mirror_perm=mirror, companion=ms.companion,
-                )
-                if gm is not None:
-                    gmaps[name] = gm
-
-    if drop_redundant:
-        droppable = {n for n, ms in spec.maps.items() if not ms.keep_flat}
-        _drop_redundant_flat_maps(maps, gmaps, droppable)
-    return ConvGraph(levels=levels, maps=maps, gmaps=gmaps)
-
+    return finalize_graph(
+        spec, capacities, kept_coords, nums, maps_idx,
+        fuse=fuse, fuse_grouped=fuse_grouped, drop_redundant=drop_redundant,
+        layout_out=layout_out,
+    )
 
 def _drop_redundant_flat_maps(maps: dict, gmaps: dict, droppable=None) -> None:
     """Replace flat (K, cap) tables with 1-wide dummies wherever the device

@@ -81,13 +81,16 @@ def build_graph_native(
     fuse: bool = True,
     fuse_grouped: bool = True,
     drop_redundant: bool = True,
+    layout_out=None,
 ) -> ConvGraph:
-    """Native-path equivalent of graph_host.build_graph (same outputs)."""
+    """Native-path equivalent of graph_host.build_graph (same outputs):
+    the C++ library builds the pyramid and flat kernel maps; the shared
+    finalize pass (sentinel expansion + fused maps) runs in numpy."""
     lib = get_lib()
     if lib is None or spec.d != 3:  # native builder is 3D; 4D uses numpy
         return gh.build_graph(
             coords0, spec, capacities, fuse=fuse, fuse_grouped=fuse_grouped,
-            drop_redundant=drop_redundant,
+            drop_redundant=drop_redundant, layout_out=layout_out,
         )
 
     coords0 = np.ascontiguousarray(coords0, dtype=np.int32)
@@ -103,23 +106,9 @@ def build_graph_native(
     )
     assert rc == 0
 
-    levels = tuple(
-        SparseLevel(coords=level_arrays[l], num=np.int32(nums[l]), stride=1 << l)
-        for l in range(L)
-    )
-
-    maps, gmaps = {}, {}
+    maps_idx = {}
     for name, ms in spec.maps.items():
-        stride_in, stride_out = 1 << ms.level_in, 1 << ms.level_out
-        if ms.kind.transpose:
-            offs = -region_offsets(
-                ms.kind.region, ms.kind.kernel_size, ms.kind.dilation, stride_out, spec.d
-            )
-        else:
-            offs = region_offsets(
-                ms.kind.region, ms.kind.kernel_size, ms.kind.dilation, stride_in, spec.d
-            )
-        offs = np.ascontiguousarray(offs, dtype=np.int32)
+        offs = np.ascontiguousarray(gh._map_offsets(ms, spec), dtype=np.int32)
         k = offs.shape[0]
         cap_out = capacities[ms.level_out]
         idx = np.empty((k, cap_out), dtype=np.int32)
@@ -129,39 +118,14 @@ def build_graph_native(
             _ptr(offs), k, cap_out, _ptr(idx),
         )
         assert rc == 0
-        center = -1
-        if (
-            not ms.kind.transpose and ms.kind.stride == 1
-            and ms.level_in == ms.level_out and ms.kind.kernel_size % 2 == 1
-            and ms.kind.kernel_size > 1
-        ):
-            zero_rows = np.flatnonzero((offs == 0).all(axis=1))
-            if zero_rows.size == 1:
-                center = int(zero_rows[0])
-        mirror = None
-        if center >= 0 or (not ms.kind.transpose and ms.kind.stride == 1 and ms.level_in == ms.level_out):
-            mirror = gh._mirror_permutation(offs)
-        maps[name] = KernelMap(idx=idx, center_slot=center, mirror_perm=mirror, companion=ms.companion)
-        if fuse and ms.kind.kernel_size > 1 and ms.kind.transpose:
-            pm = gh._try_parent_map(idx)
-            if pm is not None:
-                gmaps[name] = gh.dataclasses_replace_pm(pm, ms.companion)
-                continue
-        if (fuse and fuse_grouped and ms.kind.kernel_size > 1
-                and ms.fuse_width > 1 and ms.level_in == ms.level_out):
-            gm = gh._try_masked_shift_map(
-                idx, offs,
-                z_step=stride_in, width=ms.fuse_width,
-                n_in=capacities[ms.level_in],
-                mirror_perm=mirror, companion=ms.companion,
-            )
-            if gm is not None:
-                gmaps[name] = gm
+        maps_idx[name] = idx
 
-    if drop_redundant:
-        droppable = {n for n, ms in spec.maps.items() if not ms.keep_flat}
-        gh._drop_redundant_flat_maps(maps, gmaps, droppable)
-    return ConvGraph(levels=levels, maps=maps, gmaps=gmaps)
+    kept_coords = [level_arrays[l][: int(nums[l])] for l in range(L)]
+    return gh.finalize_graph(
+        spec, capacities, kept_coords, [int(n) for n in nums], maps_idx,
+        fuse=fuse, fuse_grouped=fuse_grouped, drop_redundant=drop_redundant,
+        layout_out=layout_out,
+    )
 
 
 def quantize_native(coords: np.ndarray) -> np.ndarray:

@@ -28,16 +28,26 @@ class SparseLevel:
     coords: jnp.ndarray
     num: jnp.ndarray
     stride: int = struct.field(pytree_node=False)
+    # Explicit per-row validity (f32 {0,1}). When the sentinel expansion pass
+    # (sparse/graph_host.py:expand_sentinels) interleaves zero rows into the
+    # layout, valid rows are no longer a prefix and ``num`` counts layout
+    # rows (real + sentinel); None keeps the prefix semantics.
+    valid: Optional[jnp.ndarray] = None
 
     @property
     def capacity(self) -> int:
         return self.coords.shape[0]
 
     def mask(self, dtype=jnp.float32) -> jnp.ndarray:
-        """(capacity,) validity mask: 1 for valid rows, 0 for padding."""
+        """(capacity,) validity mask: 1 for real voxel rows, 0 for padding
+        and sentinel rows."""
+        if self.valid is not None:
+            return self.valid.astype(dtype)
         return (jnp.arange(self.capacity) < self.num).astype(dtype)
 
     def bool_mask(self) -> jnp.ndarray:
+        if self.valid is not None:
+            return self.valid > 0
         return jnp.arange(self.capacity) < self.num
 
     @property
@@ -83,41 +93,47 @@ class MaskedShiftMap:
 
     See ops/msconv.py for the cost model and algorithm. Sorted keys put a
     voxel's z+-1 neighbors in its physical prev/next rows whenever they
-    exist, so the table T3 = [x_prev*mp | x | x_next*mn] serves a whole
+    exist, so the table T3 = [x_prev*mp | x*mc | x_next*mn] serves a whole
     (dx, dy) offset column with ONE gathered row anchored at the column's
     dz=0 kernel-map entry; host-built masks mp/mn zero the shifted columns
     where the physical neighbor is not the true z-neighbor. Outputs whose
-    dz=0 neighbor is missing but a dz=+-1 neighbor exists live in the
-    out-sorted COO leftover list. The symmetric region makes the backward
-    the same structure on the same tables (mirrored transposed weights).
+    dz=0 neighbor is missing but a dz=+-1 neighbor exists anchor a
+    *sentinel row* — a zero row the expansion pass interleaved at the run
+    boundary (graph_host.py:expand_sentinels) whose mp/mn expose exactly
+    the true neighbors — so the fused path is exact with no leftover COO.
+    The symmetric region makes the backward the same structure on the same
+    tables (mirrored transposed weights).
 
-    mp, mn: (cap,) f32 in {0, 1} — physical prev/next row is the true
-        z-1 / z+1 neighbor of each row.
-    anchors: (G-1, cap) int32 — non-center columns' dz=0 map rows
-        (guard = cap, the zero row of T3).
-    lo_in / lo_out / lo_slot: (capL,) int32 out-sorted leftover COO;
-        guard entries carry in = cap, out = cap, slot = -1.
+    mp, mn: (cap,) f32 in {0, 1} — physical prev/next row is a true
+        z-1 / z+1 neighbor (real rows: of this row; sentinel rows: of the
+        gap outputs that anchor them).
+    mc: (cap,) f32 in {0, 1} — row is a real voxel (zeroes the center
+        third at sentinel/pad rows so stale activations never leak).
+    anchors: (G-1, cap) int32 — non-center columns' anchor rows (dz=0 map
+        entry, or the boundary sentinel for gap outputs; guard = cap, the
+        zero row of T3).
+    ov_in / ov_out: (ov_cap + ov_seg,) int32 column-major COO for anchors
+        the one-hot window kernel cannot reach (out-of-window outliers);
+        ov_off: (G,) segment starts per non-center column. Guards carry
+        in = cap, out = cap. The plain gather path ignores these (its
+        anchors reach the whole table); the window kernel adds them back.
     cols: static (G, 3) slot triples in ascending dz, center column first.
     mirror_perm: static p with offsets[p[k]] == -offsets[k].
-    lo_slots: static tuple of slot ids occurring in the leftover COO.
     """
 
     mp: jnp.ndarray
     mn: jnp.ndarray
+    mc: jnp.ndarray
     anchors: jnp.ndarray
-    # slot-major leftover COO: lo_off[j] = start of lo_slots[j]'s segment
-    # (len(lo_slots) + 1 entries); any segment <= seg_cap rows
-    lo_in: jnp.ndarray
-    lo_out: jnp.ndarray
-    lo_slot: jnp.ndarray
-    lo_off: jnp.ndarray
+    ov_in: jnp.ndarray
+    ov_out: jnp.ndarray
+    ov_off: jnp.ndarray
     # One-hot window annotation (ops/onehot_conv.py): per-(tile, dx-group)
     # window starts, flattened (n_tiles * 3,); empty when cap < 4 tiles.
     wstart: jnp.ndarray
     cols: Tuple[Tuple[int, int, int], ...] = struct.field(pytree_node=False)
     mirror_perm: Tuple[int, ...] = struct.field(pytree_node=False)
-    lo_slots: Tuple[int, ...] = struct.field(pytree_node=False)
-    seg_cap: int = struct.field(pytree_node=False, default=0)
+    ov_seg: int = struct.field(pytree_node=False, default=0)
     # columns per dx group in cols order (center group first)
     col_groups: Tuple[int, int, int] = struct.field(
         pytree_node=False, default=(3, 3, 3))
@@ -126,10 +142,6 @@ class MaskedShiftMap:
     @property
     def out_capacity(self) -> int:
         return self.mp.shape[0]
-
-    @property
-    def rows_per_voxel(self) -> float:
-        return len(self.cols) - 1 + self.lo_in.shape[0] / max(self.mp.shape[0], 1)
 
 
 @struct.dataclass

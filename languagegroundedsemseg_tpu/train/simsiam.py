@@ -56,9 +56,11 @@ def build_paired_batch(
     b2, lay2 = builder.build(views2, return_layout=True)
 
     def remap(corrs_scene, lay_self, lay_other, cap_self, n_other):
-        """Scene-local corr -> concatenated row of other view -> padded row."""
+        """Scene-local corr -> concatenated row of other view -> padded
+        device row (both views' layouts may have sentinel rows interleaved,
+        so kept row i of a view sits at its layout's pos0[i])."""
         inv_other = np.full(n_other, -1, dtype=np.int64)
-        inv_other[lay_other["order"]] = np.arange(len(lay_other["order"]))
+        inv_other[lay_other["order"]] = lay_other["pos0"]
         cat = np.concatenate(
             [np.where(c >= 0, c + off, -1) for c, off in corrs_scene]
         )
@@ -69,7 +71,7 @@ def build_paired_batch(
             -1,
         )
         out = np.full(cap_self, -1, dtype=np.int32)
-        out[: len(ordered)] = mapped
+        out[lay_self["pos0"]] = mapped
         return out
 
     n1 = sum(len(v[0]) for v in views1)

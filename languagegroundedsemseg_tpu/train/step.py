@@ -59,6 +59,9 @@ def make_train_step(
                 train=True,
                 representation_only=representation_only,
                 mutable=["batch_stats"],
+                # 'crf' drives the CRF wrapper's stochastic p=0.5 coin
+                # (models/crf.py); unused collections are ignored by flax.
+                rngs={"crf": jax.random.fold_in(key, 1)},
             )
             row_mask = batch.graph.levels[0].mask()
             loss, metrics = objective(out_a, out_b, batch, key, row_mask)

@@ -109,6 +109,30 @@ class Trainer:
 
         self.model = _mk(axis)
         self.eval_model = self.model if axis is None else _mk(None)
+        # CRF wrapper (reference main.py load_wrapper wiring +
+        # models/wrapper.py:20-30): stochastic p=0.5 filter application in
+        # training, always-on at eval; compatibility matrix trains at
+        # wrapper_lr (see the masked lr scale below).
+        self.wrapped = bool(config.wrapper_type and config.wrapper_type != "None")
+        if self.wrapped:
+            from languagegroundedsemseg_tpu.models import load_wrapper
+
+            W = load_wrapper(config.wrapper_type)
+
+            def _wrap(base):
+                return W(
+                    base=base,
+                    num_classes=self.num_labels,
+                    spatial_sigma=float(config.crf_spatial_sigma),
+                    chromatic_sigma=float(config.crf_chromatic_sigma),
+                    iterations=config.meanfield_iterations,
+                    dtype=dtype,
+                )
+
+            self.model = _wrap(self.model)
+            self.eval_model = (
+                self.model if axis is None else _wrap(self.eval_model)
+            )
         self.representation_only = self.mode == "representation"
 
         # Objective
@@ -146,6 +170,26 @@ class Trainer:
         )
         sched = lambda s: epoch_sched(jnp.floor(s / steps_per_epoch))  # noqa: E731
         self.tx = initialize_optimizer(config, sched)
+        if self.wrapped and config.lr > 0:
+            # Scale the wrapper's (CRF compatibility) updates so their
+            # effective lr is wrapper_lr (reference trains the filter with
+            # its own lr, config/config.py wrapper_lr).
+            import optax as _optax
+
+            ratio = config.wrapper_lr / config.lr
+
+            def _crf_mask(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: any(
+                        "MeanFieldCRF" in str(getattr(p, "key", ""))
+                        for p in path
+                    ),
+                    params,
+                )
+
+            self.tx = _optax.chain(
+                self.tx, _optax.masked(_optax.scale(ratio), _crf_mask)
+            )
         if config.classifier_only:
             # Freeze everything but the model-declared classifier head
             # (reference set_classifier_mode, pl_BaselineTrainer.py:411 and
@@ -291,10 +335,18 @@ class Trainer:
 
             if cfg.weights.endswith((".pth", ".tar")) or "torch" in cfg.weights:
                 sd = load_torch_state_dict(cfg.weights)
-                params, stats, skipped = torch_to_flax_params(
-                    sd, variables["params"], variables.get("batch_stats", {})
-                )
+                # --weights_for_inner_model: the checkpoint holds the bare
+                # model while self.model is CRF-wrapped; target the 'base'
+                # subtree (reference main.py:125-130 semantics).
+                inner = self.wrapped and cfg.weights_for_inner_model
+                p_tgt = variables["params"]["base"] if inner else variables["params"]
+                s_all = variables.get("batch_stats", {})
+                s_tgt = s_all.get("base", {}) if inner else s_all
+                params, stats, skipped = torch_to_flax_params(sd, p_tgt, s_tgt)
                 print(f"loaded torch weights; skipped {len(skipped)} tensors")
+                if inner:
+                    params = {**variables["params"], "base": params}
+                    stats = {**s_all, "base": stats}
                 return {"params": params, "batch_stats": stats}
         return variables
 
@@ -355,12 +407,12 @@ class Trainer:
         from languagegroundedsemseg_tpu.utils.visualization import visualize_results
 
         ds = self.val_loader.dataset
-        coords = np.asarray(batch.graph.levels[0].coords)
-        n = int(batch.graph.levels[0].num)
-        labels = np.asarray(batch.labels)[:n]
-        feats = np.asarray(batch.feats)[:n]
-        pred = np.asarray(pred)[:n]
-        coords = coords[:n]
+        lvl0 = batch.graph.levels[0]
+        m = np.asarray(lvl0.bool_mask())  # sentinel rows are not voxels
+        coords = np.asarray(lvl0.coords)[m]
+        labels = np.asarray(batch.labels)[m]
+        feats = np.asarray(batch.feats)[m]
+        pred = np.asarray(pred)[m]
         inv_map = getattr(ds, "inverse_label_map", None)
         inv_arr = None
         if inv_map:
@@ -369,9 +421,40 @@ class Trainer:
                 if 0 <= t < self.num_labels:
                     inv_arr[t] = r
         cmap = getattr(ds, "SCANNET_COLOR_MAP", {})
+        # Scene identity comes from the loader's per-voxel dataset-index
+        # stream when present — immune to limit_numpoints scene drops; the
+        # positional scene_base+b fallback serves directly-built batches.
+        scene_idx = batch.extras.get("scene_idx")
+        scene_idx = None if scene_idx is None else np.asarray(scene_idx)[m]
+        transforms = batch.extras.get("transform")
+        transforms = None if transforms is None else np.asarray(transforms)[m]
         for b in np.unique(coords[:, 0]):
             rows = coords[:, 0] == b
-            idx = scene_base + int(b)
+            if scene_idx is not None:
+                idx = int(scene_idx[rows][0])
+            else:
+                idx = scene_base + int(b)
+            if transforms is not None and self.config.save_prediction:
+                # Original-scale prediction (reference save_predictions,
+                # lib/utils.py:292-337): undo the voxelizer transform and
+                # the train-id label mapping.
+                tr = transforms[rows][0].reshape(4, 4)
+                homo = np.hstack([
+                    coords[rows, 1:4].astype(np.float64) + 0.5,
+                    np.ones((int(rows.sum()), 1)),
+                ])
+                orig_xyz = (np.linalg.inv(tr) @ homo.T).T[:, :3]
+                p = pred[rows]
+                if inv_arr is not None:
+                    p = inv_arr[np.clip(p, 0, self.num_labels - 1)]
+                os.makedirs(self.config.save_pred_dir, exist_ok=True)
+                np.save(
+                    os.path.join(
+                        self.config.save_pred_dir,
+                        "pred_%04d_%02d.npy" % (idx, int(b)),
+                    ),
+                    np.hstack([orig_xyz, p[:, None].astype(np.float64)]),
+                )
             name = (
                 ds.get_output_id(idx)
                 if hasattr(ds, "get_output_id")
@@ -390,6 +473,7 @@ class Trainer:
         self,
         max_batches: Optional[int] = None,
         save_predictions_dir: Optional[str] = None,
+        batches=None,
     ) -> Dict[str, float]:
         from languagegroundedsemseg_tpu.eval.miou import ap_from_histograms
 
@@ -398,7 +482,8 @@ class Trainer:
         losses, count = 0.0, 0
         tp_acc = np.zeros((self.num_labels, 100))
         fp_acc = np.zeros((self.num_labels, 100))
-        for i, batch in enumerate(self.val_loader):
+        viz_freq = self.config.visualize_freq
+        for i, batch in enumerate(self.val_loader if batches is None else batches):
             if max_batches is not None and i >= max_batches:
                 break
             hist, loss, pred, tp, fp = self.p_eval_metrics(self.state, batch)
@@ -414,7 +499,11 @@ class Trainer:
             fp_acc += fp
             losses += float(loss)
             count += 1
-            if save_predictions_dir:
+            # visualize_freq gates how often a val batch is dumped (0 =
+            # every batch; reference pl_BaselineTrainer.py:176 semantics)
+            if save_predictions_dir and (
+                viz_freq == 0 or (i % viz_freq == 0 and i > 0)
+            ):
                 bs = self.val_loader.batch_size
                 if self.mesh is None:
                     self._dump_batch_predictions(
@@ -457,10 +546,25 @@ class Trainer:
                 print(f"resumed from {path} at step {int(self.state.step)}")
 
         key = jax.random.PRNGKey(cfg.seed)
+        # overfit_batches (reference config/config.py:265): cache the first
+        # N train batches (fraction of an epoch if < 1) and train AND
+        # validate on exactly those — the standard sanity-check loop.
+        overfit: Optional[list] = None
+        if cfg.overfit_batches:
+            n_ov = (
+                int(cfg.overfit_batches)
+                if cfg.overfit_batches >= 1
+                else max(1, round(cfg.overfit_batches * len(self.train_loader)))
+            )
+            overfit = []
+            for batch in self.train_loader:
+                overfit.append(jax.device_get(batch))
+                if len(overfit) >= n_ov:
+                    break
         for epoch in range(epochs):
             t0 = time.time()
             n_steps, loss_sum = 0, 0.0
-            for batch in self.train_loader:
+            for batch in (overfit if overfit is not None else self.train_loader):
                 self.profiler.maybe_start(int(self.state.step))
                 self.state, metrics = self.p_train_step(self.state, batch, key)
                 self.profiler.maybe_stop(int(self.state.step))
@@ -476,7 +580,7 @@ class Trainer:
 
             val_metrics = {}
             if (epoch + 1) % val_every == 0:
-                val_metrics = self.validate()
+                val_metrics = self.validate(batches=overfit)
                 self._plateau_update(val_metrics)
             rec = {"phase": "epoch", "epoch": epoch, "step": int(self.state.step),
                    "train_loss": train_loss, "time_s": time.time() - t0,

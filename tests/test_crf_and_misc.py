@@ -110,3 +110,46 @@ def test_wrapper_registry_and_forward():
     logits, features = model.apply(variables, jnp.asarray(feats), g, train=False)
     assert logits.shape == (256, 6)
     assert np.isfinite(np.asarray(logits)[: len(coords)]).all()
+
+
+def test_yaml_overlay_and_dot_overrides(tmp_path):
+    """Reference-style nested YAML + Hydra-style dot overrides map onto the
+    flat Config (reference downstream/insseg/config/default.yaml,
+    scripts/train_scannet_slurm.sh optimizer.lr=... overrides)."""
+    from languagegroundedsemseg_tpu.config import get_config
+
+    y = tmp_path / "overlay.yaml"
+    y.write_text(
+        "net:\n"
+        "  model: Res16UNet14A\n"
+        "  conv1_kernel_size: 5\n"
+        "optimizer:\n"
+        "  lr: 0.25\n"
+        "  multi_step_milestones: [10, 20]\n"
+        "data:\n"
+        "  dataset: SyntheticTiny20Dataset\n"
+        "  nonexistent_key: 1\n"  # ignored with a warning
+    )
+    cfg = get_config([
+        "--config", str(y),
+        "optimizer.lr=0.5",       # dot override beats yaml
+        "misc.seed=7",
+        "--batch_size", "3",      # explicit flag beats everything
+    ])
+    assert cfg.model == "Res16UNet14A"
+    assert cfg.conv1_kernel_size == 5
+    assert cfg.lr == 0.5
+    assert cfg.multi_step_milestones == (10, 20)
+    assert cfg.seed == 7
+    assert cfg.batch_size == 3
+
+
+def test_dead_flags_fail_loudly():
+    import pytest
+
+    from languagegroundedsemseg_tpu.config import Config
+
+    with pytest.raises(ValueError, match="point_lim"):
+        Config(point_lim=100)
+    with pytest.raises(ValueError, match="eval_upsample"):
+        Config(eval_upsample=True)

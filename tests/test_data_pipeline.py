@@ -108,13 +108,13 @@ def test_synthetic_dataset_loader_end_to_end():
     assert len(batches) == 2
     b = batches[0]
     assert b.feats.shape[0] == 8192
-    n = int(np.asarray(b.graph.levels[0].num))
-    assert 0 < n <= 8192
+    m = np.asarray(b.graph.levels[0].bool_mask())
+    assert 0 < m.sum() <= 8192
     labels = np.asarray(b.labels)
-    assert (labels[n:] == 255).all()
-    assert labels[:n].max() < 20
+    assert (labels[~m] == 255).all()  # pad + sentinel rows carry ignore
+    assert labels[m].max() < 20
     # color normalized to [-0.5, 0.5]
-    assert np.abs(np.asarray(b.feats)[:n]).max() <= 0.5 + 1e-6
+    assert np.abs(np.asarray(b.feats)[m]).max() <= 0.5 + 1e-6
 
 
 def test_loader_repeat_and_multidevice():

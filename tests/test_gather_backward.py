@@ -114,18 +114,23 @@ def test_model_grads_match_with_gather_backward():
     from languagegroundedsemseg_tpu.sparse.graph_host import GraphSpec, MapSpec
     import dataclasses
 
-    rng, g_comp = _setup(3)
-    # strip companions/mirror info -> scatter fallback everywhere
+    rng = np.random.default_rng(3)
+    coords = make_cloud(rng, n=300)
+    coords = coords[np.argsort(pack_keys(coords), kind="stable")]
+    caps = default_capacities(384, 5, ratios=[1] * 5)
     spec = res16unet_graph_spec()
+    lay: dict = {}
+    g_comp = build_graph(coords, spec, caps, drop_redundant=False,
+                         layout_out=lay)
+    # strip companions/mirror info -> scatter fallback everywhere
     spec_plain = GraphSpec(
         num_levels=spec.num_levels,
         maps={k: dataclasses.replace(v, companion=None) for k, v in spec.maps.items()},
         d=spec.d,
     )
-    coords = np.asarray(g_comp.levels[0].coords)[: int(g_comp.levels[0].num)]
     from languagegroundedsemseg_tpu.sparse.graph_host import build_graph as bg
 
-    g_plain = bg(coords, spec_plain, default_capacities(384, 5, ratios=[1] * 5), fuse=False)
+    g_plain = bg(coords, spec_plain, caps, fuse=False)
     g_plain = jax.tree_util.tree_map(lambda x: x, g_plain)
     # also remove mirror perms
     from languagegroundedsemseg_tpu.sparse.types import ConvGraph, KernelMap
@@ -139,28 +144,37 @@ def test_model_grads_match_with_gather_backward():
         gmaps={},
     )
 
+    # Lay features/labels out per graph: the fused graph may interleave
+    # sentinel rows (real row i -> lay["pos0"][i]); the plain graph is a
+    # prefix layout.
     cap = g_comp.levels[0].capacity
-    n0 = int(g_comp.levels[0].num)
-    feats = np.zeros((cap, 3), np.float32)
-    feats[:n0] = np.random.default_rng(9).normal(size=(n0, 3))
-    feats = jnp.asarray(feats)
-    labels = np.full(cap, 255, np.int64)
-    labels[:n0] = np.random.default_rng(10).integers(0, 13, n0)
-    labels = jnp.asarray(labels)
+    n0 = len(coords)
+    F = np.random.default_rng(9).normal(size=(n0, 3)).astype(np.float32)
+    L = np.random.default_rng(10).integers(0, 13, n0)
+
+    def lay_out(pos):
+        f = np.zeros((cap, 3), np.float32)
+        f[pos] = F
+        l = np.full(cap, 255, np.int64)
+        l[pos] = L
+        return jnp.asarray(f), jnp.asarray(l)
+
+    feats_c, labels_c = lay_out(lay["pos0"])
+    feats_p, labels_p = lay_out(np.arange(n0))
 
     model = Res16UNet14A(out_channels=13)
-    variables = model.init(jax.random.PRNGKey(0), feats, g_plain, train=False)
+    variables = model.init(jax.random.PRNGKey(0), feats_p, g_plain, train=False)
 
     from languagegroundedsemseg_tpu.losses.classification import cross_entropy_loss
 
-    def loss(params, graph):
+    def loss(params, feats, labels, graph):
         (logits, _), _ = model.apply(
             {"params": params, "batch_stats": variables["batch_stats"]},
             feats, graph, train=True, mutable=["batch_stats"],
         )
         return cross_entropy_loss(logits, labels, 255, row_mask=graph.levels[0].mask())
 
-    g1 = jax.grad(loss)(variables["params"], g_plain)
-    g2 = jax.grad(loss)(variables["params"], g_comp)
+    g1 = jax.grad(loss)(variables["params"], feats_p, labels_p, g_plain)
+    g2 = jax.grad(loss)(variables["params"], feats_c, labels_c, g_comp)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)

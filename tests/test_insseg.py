@@ -88,6 +88,50 @@ def test_cluster_points_separates_instances():
     assert n2 == 3
 
 
+def test_cluster_points_dense_hub_not_split_by_neighbor_cap():
+    """A hub point whose >48 lowest-index neighbors all sit on one side used
+    to saturate the capped neighbor table and drop the only edge to the
+    other side, splitting one dense component in two. The exact pair-set
+    path (the converged state of the reference's adaptive meanActive ball
+    query, bfs.py:32-39) must keep it whole."""
+    rng = np.random.default_rng(7)
+    # 120 satellites jammed within radius of the hub (degree 120 > any cap),
+    # then a 60-point chain attached through the hub's far side.
+    hub = np.zeros((1, 3))
+    satellites = rng.normal(0, 0.005, (120, 3))
+    chain = np.stack(
+        [0.025 + 0.02 * np.arange(60), np.zeros(60), np.zeros(60)], axis=1
+    )
+    pts = np.concatenate([satellites, hub, chain]).astype(np.float32)
+    labels = np.zeros(len(pts), dtype=np.int64)
+    comp, n = cluster_points(pts, labels, radius=0.03, min_points=50)
+    assert n == 1, f"dense hub split into {n} components"
+    assert len(np.unique(comp)) == 1 and comp[0] >= 0
+
+
+def test_radius_graph_host_matches_edges():
+    from languagegroundedsemseg_tpu.ops.cluster import (
+        radius_edges_host,
+        radius_graph_host,
+    )
+
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 0.2, (80, 3)).astype(np.float32)
+    labels = rng.integers(0, 2, 80)
+    edges = radius_edges_host(pts, 0.05, labels)
+    table = radius_graph_host(pts, 0.05, 16, labels)
+    # every edge present in both directions in the padded table
+    pair_set = {(int(u), int(v)) for u, v in edges} | {
+        (int(v), int(u)) for u, v in edges
+    }
+    table_set = {
+        (i, int(j)) for i in range(80) for j in table[i] if j >= 0
+    }
+    assert table_set <= pair_set
+    # no truncation at this density -> sets equal
+    assert table_set == pair_set
+
+
 def test_pointnet2_sa_fp_modules():
     """SA downsamples with FPS+ball-query+maxpool; FP interpolates back —
     the module layer over the N2-N5 ops (reference pointnet2_modules.py)."""

@@ -48,26 +48,36 @@ def test_masked_shift_map_structure():
     assert covered == list(range(27))
     assert m.cols[0][1] == 13  # center slot of a 3^3 cube
     assert m.anchors.shape[0] == 8
-    assert len(m.lo_slots) == 24  # all slots of the 8 non-center columns
-    n = int(g.levels[0].num)
     cap = m.out_capacity
-    # masks: mp[r] set exactly when row r-1 is the true z-1 neighbor
-    flat = g.maps["k3"].idx
+    flat = np.asarray(g.maps["k3"].idx)
+    valid = np.asarray(g.levels[0].valid)
+    num = int(g.levels[0].num)
+    is_sent = (valid == 0) & (np.arange(cap) < num)
+    assert is_sent.any(), "test cloud should demand sentinel rows"
+    # mc is exactly the real-row validity; sentinel/pad rows are zeroed
+    np.testing.assert_array_equal(np.asarray(m.mc), valid)
+    # on real rows, mp/mn mirror the center column's z-neighbor validity
     kA, kB, kC = m.cols[0]
-    np.testing.assert_array_equal(np.asarray(m.mp), (np.asarray(flat[kA]) >= 0))
-    np.testing.assert_array_equal(np.asarray(m.mn), (np.asarray(flat[kC]) >= 0))
-    # leftover COO is slot-major: lo_off delimits each slot's segment and
-    # segments respect the static bound; guards pad the tail
-    lo_slot = np.asarray(m.lo_slot)
-    lo_off = np.asarray(m.lo_off)
-    assert len(lo_off) == len(m.lo_slots) + 1
-    for j, k in enumerate(m.lo_slots):
-        seg = lo_slot[lo_off[j]:lo_off[j + 1]]
-        assert (seg == k).all()
-        assert lo_off[j + 1] - lo_off[j] <= m.seg_cap
-    lo = np.asarray(m.lo_out)
-    assert (lo[lo_off[-1]:] == cap).all()  # tail guards
-    assert len(lo) >= lo_off[-1] + m.seg_cap  # slices never clamp
+    real = valid > 0
+    np.testing.assert_array_equal(
+        np.asarray(m.mp)[real], (flat[kA] >= 0)[real].astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(m.mn)[real], (flat[kC] >= 0)[real].astype(np.float32))
+    # sentinel rows expose at least one side and never the center
+    assert (np.asarray(m.mp)[is_sent] + np.asarray(m.mn)[is_sent] >= 1).all()
+    # every anchor is a dz=0 map entry, a sentinel row, or the guard cap
+    anchors = np.asarray(m.anchors)
+    for gi, (ka, kb, kc) in enumerate(m.cols[1:]):
+        a = anchors[gi]
+        ok_ident = a == flat[kb]
+        ok_sent = (a < cap) & is_sent[np.clip(a, 0, cap - 1)]
+        ok_guard = a == cap
+        assert (ok_ident | ok_sent | ok_guard).all()
+    # ov COO segments: ascending per-column offsets within the static bound
+    ov_off = np.asarray(m.ov_off)
+    assert len(ov_off) == 9
+    assert (np.diff(ov_off) >= 0).all()
+    assert (np.diff(ov_off) <= m.ov_seg).all()
 
 
 def test_masked_shift_conv_matches_flat():
@@ -114,35 +124,42 @@ def test_masked_shift_grads_match_flat():
                                rtol=1e-3, atol=1e-3)
 
 
-def test_masked_shift_wide_channel_fallback():
-    """Above the fast-table byte budget the op drops to a bf16 table when
-    that fits, and declines entirely when even bf16 is over budget."""
+def test_masked_shift_windowed_over_budget_matches_flat():
+    """Tables over the fast-table byte budget run the barriered
+    static-window variant exactly (shrunk margins so the path engages at
+    test scale); an unwindowable budget declines to None (flat fallback)."""
     import languagegroundedsemseg_tpu.ops.msconv as mod
 
-    rng, coords = _sorted_cloud(3)
-    g = _graph(coords)
-    m, km = g.gmaps["k3"], g.maps["k3"]
-    n = int(g.levels[0].num)
-    x = jnp.asarray(rng.normal(size=(m.out_capacity, 8)).astype(np.float32))
-    w = jnp.asarray((rng.normal(size=(27, 8, 8)) * 0.1).astype(np.float32))
-    f32_bytes = (m.out_capacity + 1) * 3 * 8 * 4
-    old = mod.FAST_TABLE_BYTES
-    old_bf16 = mod.BF16_TABLE_FALLBACK
+    old_fast, old_margin, old_min = (
+        mod.FAST_TABLE_BYTES, mod.GWIN_MARGIN, mod.MIN_WINDOW_ROWS)
     try:
-        mod.BF16_TABLE_FALLBACK = True
-        mod.FAST_TABLE_BYTES = 100  # below even the bf16 table
-        assert masked_shift_conv(x, w, m) is None
-        mod.FAST_TABLE_BYTES = f32_bytes // 2  # bf16 fits, f32 does not
-        out = masked_shift_conv(x, w, m)
-        assert out is not None and out.dtype == jnp.float32
+        # Shrink the margin BEFORE the build so the host routes far anchors
+        # into the ov COO consistently with the runtime windows.
+        mod.GWIN_MARGIN = 64
+        mod.MIN_WINDOW_ROWS = 128
+        rng, coords = _sorted_cloud(3)
+        g = _graph(coords)
+        m, km = g.gmaps["k3"], g.maps["k3"]
+        n = int(g.levels[0].num)
+        x = jnp.asarray(rng.normal(size=(m.out_capacity, 8)).astype(np.float32))
+        w = jnp.asarray((rng.normal(size=(27, 8, 8)) * 0.1).astype(np.float32))
+        row_bytes = 3 * 8 * 4
         flat = sparse_conv(x, w, km.idx, center_slot=km.center_slot,
                            mirror_perm=km.mirror_perm)
-        scale = np.abs(np.asarray(flat)[:n]).max() + 1e-9
-        assert np.abs(np.asarray(out)[:n] - np.asarray(flat)[:n]).max() / scale < 2e-2
+        # budget below even a minimal window -> decline
+        mod.FAST_TABLE_BYTES = 100
+        assert masked_shift_conv(x, w, m) is None
+        # budget for ~300 rows: table (cap+1 rows) is over budget but
+        # windowable -> windowed path, exact vs flat
+        mod.FAST_TABLE_BYTES = (2 * 64 + 128 + 50) * row_bytes
+        out = masked_shift_conv(x, w, m)
+        assert out is not None
+        np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(flat)[:n],
+                                   rtol=1e-4, atol=1e-4)
     finally:
-        mod.FAST_TABLE_BYTES = old
-        mod.BF16_TABLE_FALLBACK = old_bf16
-    assert masked_shift_conv(x, w, m) is not None
+        mod.FAST_TABLE_BYTES = old_fast
+        mod.GWIN_MARGIN = old_margin
+        mod.MIN_WINDOW_ROWS = old_min
 
 
 def test_unsorted_input_falls_back_gracefully():
@@ -153,24 +170,21 @@ def test_unsorted_input_falls_back_gracefully():
     assert "k3" not in g.gmaps or not isinstance(g.gmaps.get("k3"), MaskedShiftMap)
 
 
-def test_leftover_overflow_falls_back():
-    import languagegroundedsemseg_tpu.sparse.graph_host as gh
+def test_ov_overflow_falls_back():
+    """A pathological outlier count (every anchor 'far' under a zero
+    window margin) overflows the ov COO capacity -> no fused map, flat
+    path only."""
+    import languagegroundedsemseg_tpu.ops.msconv as mod
 
     _, coords = _sorted_cloud(5)
     spec = GraphSpec(num_levels=1, maps={"k3": MapSpec(0, 0, ConvKind(3), fuse_width=3)})
-    orig = gh._try_masked_shift_map
-
-    def tight(idx, offs, z_step, width, n_in, mirror_perm=None, companion=None,
-              leftover_ratio=1.6):
-        return orig(idx, offs, z_step, width, n_in, mirror_perm, companion,
-                    leftover_ratio=0.001)
-
-    gh._try_masked_shift_map = tight
+    old = mod.GWIN_MARGIN
     try:
+        mod.GWIN_MARGIN = 0
         g = build_graph(coords, spec, default_capacities(512, 1),
                         drop_redundant=False)
     finally:
-        gh._try_masked_shift_map = orig
+        mod.GWIN_MARGIN = old
     assert "k3" not in g.gmaps
 
 

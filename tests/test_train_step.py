@@ -79,8 +79,10 @@ def test_multichip_grads_match_single_chip():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
     # BN running stats nearly match: the unbiased-variance factor is
     # cnt/(cnt-1) with the *global* count (8x larger under sync BN), so a
-    # small systematic difference is expected — exactly like torch SyncBN.
+    # systematic relative gap of up to ~7/(8*cnt_min) is expected — exactly
+    # like torch SyncBN. The deepest level of this tiny scene has ~100
+    # valid voxels -> allow ~1.5e-2.
     s1 = jax.tree_util.tree_leaves(new_1.batch_stats)
     s8 = jax.tree_util.tree_leaves(new_8.batch_stats)
     for a, b in zip(s1, s8):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1.5e-2, atol=1e-4)

@@ -1,10 +1,16 @@
-"""End-to-end trainer: baseline + representation modes on synthetic data."""
+"""End-to-end trainer: baseline + representation modes on synthetic data.
+
+Heavy tier: full fit loops compile the whole model on 1 CPU (minutes each);
+run with ``pytest -m slow``.
+"""
 
 import numpy as np
 import pytest
 
 from languagegroundedsemseg_tpu.config import Config
 from languagegroundedsemseg_tpu.train.trainer import Trainer, select_mode
+
+pytestmark = pytest.mark.slow
 
 
 def _cfg(**kw):
@@ -45,6 +51,35 @@ def test_baseline_trainer_fit_and_validate(tmp_path):
     # TensorBoard events written alongside metrics.jsonl (reference main.py:178)
     if tr.tb.active:
         assert glob.glob(str(tmp_path / "run" / "events.out.tfevents.*"))
+
+
+def test_crf_wrapper_trains_and_filters(tmp_path):
+    """--wrapper_type BilateralCRF wraps the model (reference main.py
+    load_wrapper + models/wrapper.py:20-30): the CRF compatibility matrix is
+    a trainable param, one fit step runs, and eval logits differ from the
+    bare model's (the filter is applied at eval)."""
+    import jax
+
+    cfg = _cfg(log_dir=str(tmp_path / "run"), wrapper_type="BilateralCRF",
+               meanfield_iterations=2, tensorboard=False)
+    tr = Trainer(cfg)
+    flat = jax.tree_util.tree_leaves_with_path(tr.state.params)
+    assert any(
+        any("MeanFieldCRF" in str(getattr(p, "key", "")) for p in path)
+        for path, _ in flat
+    ), "CRF compatibility param missing from the wrapped model"
+    state = tr.fit(max_epochs=1, max_steps_per_epoch=2)
+    assert int(state.step) == 2
+    m = tr.validate(max_batches=1)
+    assert np.isfinite(m["val_loss"])
+    # filtered eval differs from the bare forward on the same batch
+    batch = next(iter(tr.val_loader))
+    variables = {"params": tr.state.params, "batch_stats": tr.state.batch_stats}
+    filtered, _ = tr.eval_model.apply(
+        variables, batch.feats, batch.graph, train=False)
+    bare, _ = tr.eval_model.apply(
+        variables, batch.feats, batch.graph, train=False, apply_crf=False)
+    assert not np.allclose(np.asarray(filtered), np.asarray(bare))
 
 
 def test_profiler_trace_capture(tmp_path):

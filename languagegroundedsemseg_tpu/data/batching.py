@@ -44,6 +44,22 @@ class BatchBuilder:
     buckets: Sequence[int] = DEFAULT_BUCKETS
     fixed_capacity: Optional[int] = None  # pin cap0 (for jit-stable training)
     level_ratios: Optional[Sequence[float]] = None
+    # Flex mode (default whenever cap0 is not pinned): the graph finalize
+    # pass re-buckets every level's capacity to fit its real rows PLUS its
+    # sentinel demand (sparse/graph_host.py:finalize_graph flex=True), so
+    # the fused conv paths never fall back to flat for lack of headroom and
+    # loose level ratios stop costing compute. Shapes quantize to
+    # flex_bucket steps (~6%), so jit still serves from a handful of cached
+    # compilations. Pinned mode keeps fully static shapes for multi-device
+    # stacking (parallel/dp.py:stack_batches) and instead reserves
+    # ``sentinel_headroom`` of cap0 at truncation time.
+    flex: Optional[bool] = None
+    # Pinned-mode only: fraction of cap0 kept free for sentinel rows — a
+    # level filled to its exact capacity has no room for the expansion pass
+    # (sparse/graph_host.py:expand_sentinels), which silently drops the
+    # whole level-0 conv stack to the flat path (~3x slower). Sentinel
+    # demand is scene-dependent (~10-40% of rows on ScanNet-like surfaces).
+    sentinel_headroom: float = 0.12
 
     def capacities(self, cap0: int) -> Tuple[int, ...]:
         return default_capacities(cap0, self.spec.num_levels, self.level_ratios)
@@ -100,15 +116,28 @@ class BatchBuilder:
             keep = np.arange(len(coords))
         order = keep[np.argsort(pack_keys(coords[keep]), kind="stable")]
 
-        cap0 = self.fixed_capacity or bucket_capacity(len(order), self.buckets)
         n_raw = len(order)
-        order = order[:cap0]
+        flex = self.flex if self.flex is not None else self.fixed_capacity is None
+        if flex:
+            # Flex: truncation only at the bucket ceiling / pinned budget;
+            # the finalize pass re-buckets the real capacities to demand.
+            cap0 = self.fixed_capacity or bucket_capacity(n_raw, self.buckets)
+            limit0 = cap0
+        else:
+            # Pinned: reserve headroom so sentinel expansion fits
+            # (drop-overflow, as at the deeper levels).
+            denom = max(1.0 - self.sentinel_headroom, 1e-6)
+            cap0 = self.fixed_capacity or bucket_capacity(
+                int(np.ceil(n_raw / denom)), self.buckets)
+            limit0 = cap0 - int(cap0 * self.sentinel_headroom)
+        order = order[:limit0]
         coords, feats, labels = coords[order], feats[order], labels[order]
         extra_cat = {k: v[order] for k, v in extra_cat.items()}
 
         glay: dict = {}
         graph = build_graph(coords, self.spec, self.capacities(cap0),
-                            layout_out=glay)
+                            layout_out=glay, flex=flex)
+        cap0 = graph.levels[0].valid.shape[0]  # post-flex level-0 capacity
         # Sentinel expansion (sparse/graph_host.py:expand_sentinels) may have
         # interleaved zero rows: real level-0 row i now lives at pos0[i].
         pos0 = glay.get("pos0")

@@ -413,20 +413,65 @@ def _sentinel_plan(idx: np.ndarray, offs: np.ndarray, z_step: int, num: int):
             np.asarray(mns, np.float32))
 
 
+def flex_bucket(n: int) -> int:
+    """Round a row count up to a coarse step (~6% max pad) so jit shapes
+    quantize to a handful per size octave. Counts past 3k round to whole
+    one-hot conv tiles (ops/onehot_conv.py TILE)."""
+    n = max(int(n), 128)
+    step = max(128, 1 << max(n - 1, 1).bit_length() - 4)
+    if n > 3 * 1024:
+        step = max(step, 1024)
+    return -(-n // step) * step
+
+
+def plan_sentinels(
+    spec: "GraphSpec",
+    nums: list,
+    maps_idx: Dict[str, np.ndarray],
+) -> dict:
+    """Per-level sentinel plans for the fusable stride-1 k3 maps.
+
+    Returns {level: (map_name, (ins_pos, ins_mp, ins_mn))} for levels with
+    nonzero demand; positions index *real* rows (< nums[level]) so the plan
+    is valid under any level capacity >= nums[level] + len(ins_pos).
+    """
+    k3_by_level = {}
+    for name, ms in spec.maps.items():
+        ks = ms.kind.kernel_size if isinstance(ms.kind.kernel_size, int) else max(ms.kind.kernel_size)
+        if (not ms.kind.transpose and ms.kind.stride == 1
+                and ms.level_in == ms.level_out and ms.fuse_width >= 2
+                and ks % 2 == 1 and ks > 1):
+            k3_by_level.setdefault(ms.level_in, (name, ms))
+
+    d = spec.d
+    plans: dict = {}
+    for l, (name, ms) in k3_by_level.items():
+        stride = (1 << l) if d == 3 else 1  # d=4: temporal axis is fastest, stride 1
+        offs = region_offsets(ms.kind.region, ms.kind.kernel_size,
+                              ms.kind.dilation,
+                              (1 << l) if d == 3 else ((1 << l),) * 3 + (1,), d)
+        plan = _sentinel_plan(maps_idx[name], offs, stride, nums[l])
+        if plan is not None and len(plan[0]):
+            plans[l] = (name, plan)
+    return plans
+
+
 def expand_sentinels(
     spec: "GraphSpec",
     capacities: Sequence[int],
     kept_coords: list,
     nums: list,
     maps_idx: Dict[str, np.ndarray],
+    plans: Optional[dict] = None,
 ) -> list:
     """Interleave sentinel zero rows into each level's row layout and remap
     every kernel map into the expanded index space.
 
     For each level with a fusable stride-1 k3 map, plans the sentinel rows
-    (_sentinel_plan), inserts them at their sorted positions (so anchors
-    stay local for the windowed kernels), and rewrites all maps' input
-    values and output columns. Mutates kept_coords / nums / maps_idx.
+    (_sentinel_plan / precomputed ``plans``), inserts them at their sorted
+    positions (so anchors stay local for the windowed kernels), and rewrites
+    all maps' input values and output columns. Mutates kept_coords / nums /
+    maps_idx.
 
     Returns per-level dicts {new_pos, is_sent, mp_s, mn_s, valid, num} (or
     None for levels that were not expanded — no k3 map, no demand, or the
@@ -437,28 +482,14 @@ def expand_sentinels(
     old_nums = list(nums)
     info: list = [None] * n_levels
 
-    k3_by_level = {}
-    for name, ms in spec.maps.items():
-        ks = ms.kind.kernel_size if isinstance(ms.kind.kernel_size, int) else max(ms.kind.kernel_size)
-        if (not ms.kind.transpose and ms.kind.stride == 1
-                and ms.level_in == ms.level_out and ms.fuse_width >= 2
-                and ks % 2 == 1 and ks > 1):
-            k3_by_level.setdefault(ms.level_in, (name, ms))
+    if plans is None:
+        plans = plan_sentinels(spec, nums, maps_idx)
 
-    d = spec.d
     for l in range(n_levels):
-        if l not in k3_by_level:
+        if l not in plans:
             continue
-        name, ms = k3_by_level[l]
-        stride = (1 << l) if d == 3 else 1  # d=4: temporal axis is fastest, stride 1
-        offs = region_offsets(ms.kind.region, ms.kind.kernel_size,
-                              ms.kind.dilation,
-                              (1 << l) if d == 3 else ((1 << l),) * 3 + (1,), d)
+        _, (ins_pos, ins_mp, ins_mn) = plans[l]
         num = old_nums[l]
-        plan = _sentinel_plan(maps_idx[name], offs, stride, num)
-        if plan is None:
-            continue
-        ins_pos, ins_mp, ins_mn = plan
         s_count = len(ins_pos)
         cap = capacities[l]
         if s_count == 0 or num + s_count > cap:
@@ -749,6 +780,7 @@ def finalize_graph(
     fuse_grouped: bool = True,
     drop_redundant: bool = True,
     layout_out: Optional[dict] = None,
+    flex: bool = False,
 ) -> ConvGraph:
     """Shared back half of both graph builders (numpy and native): sentinel
     expansion, fused-map construction, and redundant-flat-map dropping over
@@ -758,10 +790,37 @@ def finalize_graph(
     valid counts, and flat (K, cap_out) index tables; they are mutated by the
     expansion pass. layout_out, if given, receives {'pos0': expanded
     positions of level-0 real rows, 'sent_counts': per-level sentinel rows}.
+
+    flex: re-derive each level's capacity as flex_bucket(num + sentinel
+    demand) — growing a level so sentinel fusion never fails for lack of
+    headroom, and tightening levels whose initial (truncation-policy)
+    capacity was loose. The given ``capacities`` stay the truncation policy;
+    callers needing static shapes across batches (multi-device stacking,
+    parallel/dp.py:stack_batches) leave flex off.
     """
     sent_info = [None] * spec.num_levels
     if fuse and fuse_grouped:
-        sent_info = expand_sentinels(spec, capacities, kept_coords, nums, maps_idx)
+        plans = plan_sentinels(spec, nums, maps_idx)
+        if flex:
+            capacities = list(capacities)
+            for l in range(spec.num_levels):
+                need = nums[l] + (len(plans[l][1][0]) if l in plans else 0)
+                new_cap = flex_bucket(need)
+                if new_cap == capacities[l]:
+                    continue
+                capacities[l] = new_cap
+                for name, ms in spec.maps.items():
+                    if ms.level_out != l:
+                        continue
+                    idx = maps_idx[name]
+                    if new_cap < idx.shape[1]:
+                        maps_idx[name] = np.ascontiguousarray(idx[:, :new_cap])
+                    else:
+                        maps_idx[name] = np.concatenate(
+                            [idx, np.full((idx.shape[0], new_cap - idx.shape[1]),
+                                          -1, idx.dtype)], axis=1)
+        sent_info = expand_sentinels(spec, capacities, kept_coords, nums,
+                                     maps_idx, plans=plans)
     if layout_out is not None:
         layout_out["pos0"] = (
             sent_info[0]["new_pos"] if sent_info[0] is not None
@@ -841,6 +900,7 @@ def build_graph(
     fuse_grouped: bool = True,
     drop_redundant: bool = True,
     layout_out: Optional[dict] = None,
+    flex: bool = False,
 ) -> ConvGraph:
     """Build the full ConvGraph for one batch.
 
@@ -879,7 +939,7 @@ def build_graph(
     return finalize_graph(
         spec, capacities, kept_coords, nums, maps_idx,
         fuse=fuse, fuse_grouped=fuse_grouped, drop_redundant=drop_redundant,
-        layout_out=layout_out,
+        layout_out=layout_out, flex=flex,
     )
 
 def _drop_redundant_flat_maps(maps: dict, gmaps: dict, droppable=None) -> None:

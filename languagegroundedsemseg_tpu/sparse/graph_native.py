@@ -82,6 +82,7 @@ def build_graph_native(
     fuse_grouped: bool = True,
     drop_redundant: bool = True,
     layout_out=None,
+    flex: bool = False,
 ) -> ConvGraph:
     """Native-path equivalent of graph_host.build_graph (same outputs):
     the C++ library builds the pyramid and flat kernel maps; the shared
@@ -90,7 +91,7 @@ def build_graph_native(
     if lib is None or spec.d != 3:  # native builder is 3D; 4D uses numpy
         return gh.build_graph(
             coords0, spec, capacities, fuse=fuse, fuse_grouped=fuse_grouped,
-            drop_redundant=drop_redundant, layout_out=layout_out,
+            drop_redundant=drop_redundant, layout_out=layout_out, flex=flex,
         )
 
     coords0 = np.ascontiguousarray(coords0, dtype=np.int32)
@@ -124,7 +125,7 @@ def build_graph_native(
     return gh.finalize_graph(
         spec, capacities, kept_coords, [int(n) for n in nums], maps_idx,
         fuse=fuse, fuse_grouped=fuse_grouped, drop_redundant=drop_redundant,
-        layout_out=layout_out,
+        layout_out=layout_out, flex=flex,
     )
 
 

@@ -180,6 +180,13 @@ def torch_to_flax_params(
             else:
                 joined.append(parts[i])
                 i += 1
+        # The reference builds block shortcuts as nn.Sequential(conv, norm)
+        # (models/resnet.py:94-103), so tensors arrive as downsample.0.* /
+        # downsample.1.bn.*; our modules are named downsample_conv/_norm.
+        joined = [
+            {"downsample_0": "downsample_conv", "downsample_1": "downsample_norm"}.get(j, j)
+            for j in joined
+        ]
         tail = joined[-1]
         base = "/".join(joined[:-1])
 
@@ -192,6 +199,12 @@ def torch_to_flax_params(
                         v = v[p]
                 elif kernel_perm is not None and len(kernel_perm) == v.shape[0]:
                     v = v[kernel_perm]
+                if v.shape[0] == 1:
+                    # kernel-volume-1 conv stored (1, Cin, Cout); our
+                    # pointwise kernels are (Cin, Cout)
+                    tmpl = flat_params.get(f"{base}/kernel")
+                    if tmpl is not None and tmpl.ndim == 2:
+                        v = v[0]
             ok = try_set(flat_params, f"{base}/kernel", v)
         elif tail in ("weight", "bias") and joined[-2] == "bn":
             nm = {"weight": "scale", "bias": "bias"}[tail]

@@ -86,12 +86,14 @@ def main():
             idx_down = comp.idx if comp is not None and comp.idx.shape[1] > 1 else None
             return sparse_conv_parent(x, w, gm, b, idx_down=idx_down), "parent"
         if isinstance(gm, MaskedShiftMap):
-            out = masked_shift_conv(x, w, gm, b)
-            if out is not None:
-                return out, "mshift"
-            out = onehot_window_conv(x, w, gm, b)
-            if out is not None:
-                return out, "onehot"
+            wide = 3 * x.shape[1] * 4 > 1024
+            paths = ([(onehot_window_conv, "onehot"), (masked_shift_conv, "mshift")]
+                     if wide else
+                     [(masked_shift_conv, "mshift"), (onehot_window_conv, "onehot")])
+            for fn, nm in paths:
+                out = fn(x, w, gm, b)
+                if out is not None:
+                    return out, nm
         companion_parent = None
         if km.companion:
             cpm = graph.gmaps.get(km.companion)

@@ -37,9 +37,17 @@ def stack_batches(batches):
         keep = set(graphs[0].gmaps)
         for g in graphs[1:]:
             keep &= set(g.gmaps)
+
+        def _sig(gm):
+            # treedef carries the static fields (tile/win, cols, ov_seg...);
+            # leaf shapes catch data-dependent array-size divergence (e.g.
+            # an empty vs populated overflow COO)
+            leaves, treedef = jax.tree_util.tree_flatten(gm)
+            return (treedef, tuple(np.shape(l) for l in leaves))
+
         keep = {
             n for n in keep
-            if len({type(g.gmaps[n]) for g in graphs}) == 1
+            if len({_sig(g.gmaps[n]) for g in graphs}) == 1
         }
         if any(set(g.gmaps) != keep for g in graphs):
             batches = [

@@ -15,6 +15,7 @@ lib/datasets/scannet.py:442).
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -540,48 +541,70 @@ def expand_sentinels(
     return info
 
 
-# One-hot window kernel geometry (must match ops/onehot_conv.py); the window
-# annotation below routes anchors the kernel cannot reach into the small
-# overflow COO (and guards them in the anchors array so no path double
-# counts) instead of disabling the kernel outright.
-def _window_annotation(anchors, cap):
-    from languagegroundedsemseg_tpu.ops.onehot_conv import N_GROUPS, TILE, WIN
+# Selector-kernel window geometry (ops/onehot_conv.py): per-(tile, column)
+# median-centered windows chosen from a static (tile, win) menu — smaller
+# windows cost proportionally fewer selector-matmul FLOPs, so the first
+# config whose out-of-window anchor count fits the overflow budget (in BOTH
+# the forward and the inverse/dW tiling) wins. Out-of-window anchors are
+# routed into the small overflow COO (and guarded in the anchors array so
+# no path double counts) instead of disabling the kernel outright.
+_WINDOW_MENU = (
+    (256, 512), (512, 1024), (256, 1024),
+    (1024, 2048), (512, 2048), (1024, 4096),
+)
 
-    if cap % TILE or cap < 4 * TILE:
-        return np.zeros(0, np.int32), None
-    n_tiles = cap // TILE
-    ws = np.zeros((n_tiles, N_GROUPS), np.int32)
-    group_cols = [[-1, 0, 1], [2, 3, 4], [5, 6, 7]]  # -1 = identity/center
-    ov = []  # (col gi, out row, anchor row)
-    for t in range(n_tiles):
-        sl = slice(t * TILE, (t + 1) * TILE)
-        for g, members in enumerate(group_cols):
-            vals = [np.arange(t * TILE, (t + 1) * TILE)[:1]] if g == 0 else []
-            for ci in members:
-                if ci < 0:
-                    continue
-                av_ = anchors[ci, sl]
-                vals.append(av_[av_ < cap])
-            allv = np.concatenate(vals) if vals else np.zeros(0, np.int64)
-            if len(allv) == 0:
-                ws[t, g] = max(0, min(t * TILE, cap))
-                continue
-            med = int(np.median(allv))
-            w0 = int(np.clip(med - WIN // 2, 0, cap)) & ~7
-            if g == 0:
-                # must cover the identity rows [tT, (t+1)T)
-                w0 = int(np.clip(w0, (t + 1) * TILE - WIN, t * TILE)) & ~7
-                w0 = max(w0, 0)
-            ws[t, g] = w0
-            for ci in members:
-                if ci < 0:
-                    continue
-                av_ = anchors[ci, sl].astype(np.int64)
-                bad = (av_ < cap) & ((av_ < w0) | (av_ >= w0 + WIN))
-                for o, a in zip(np.nonzero(bad)[0] + t * TILE, av_[bad]):
-                    ov.append((ci, o, a))
-                anchors[ci, np.nonzero(bad)[0] + t * TILE] = cap
-    return ws.reshape(-1), ov
+
+def _percol_windows(anchors, cap, tile, win):
+    """Median-centered per-(tile, column) window starts.
+
+    Returns (wstart (n_cols, n_tiles) int32, bad (n_cols, cap) bool): bad
+    marks non-guard anchors outside their tile's window. Starts are 8-row
+    aligned and clamped to [0, cap - win], so windows never leave the
+    array and the guard value ``cap`` can never land inside one.
+    """
+    n_cols = anchors.shape[0]
+    n_tiles = cap // tile
+    a = anchors.reshape(n_cols, n_tiles, tile).astype(np.float64)
+    a = np.where(a < cap, a, np.nan)
+    with warnings.catch_warnings():
+        # all-guard tiles are expected (empty columns); they get the
+        # identity-diagonal default below
+        warnings.simplefilter("ignore", RuntimeWarning)
+        med = np.nanmedian(a, axis=2)
+    med = np.where(np.isnan(med), (np.arange(n_tiles) * tile)[None, :], med)
+    w0 = (np.clip(med.astype(np.int64) - win // 2, 0, cap - win)) & ~7
+    av = anchors.reshape(n_cols, n_tiles, tile).astype(np.int64)
+    bad = (av < cap) & ((av < w0[:, :, None]) | (av >= w0[:, :, None] + win))
+    return w0.astype(np.int32), bad.reshape(n_cols, cap)
+
+
+def _route_bad(anchors, bad):
+    """Guard out-of-window anchors; return their (col, out_row, anchor)
+    COO entries."""
+    gis, outs = np.nonzero(bad)
+    entries = [(int(g), int(o), int(anchors[g, o])) for g, o in zip(gis, outs)]
+    anchors[bad] = anchors.shape[1]
+    return entries
+
+
+def _pack_ov(ov_entries, n_cols, ov_cap, cap):
+    """Column-major padded COO arrays (see MaskedShiftMap.ov_*)."""
+    ov_off = np.zeros(n_cols + 1, np.int32)
+    ov_seg = ov_cap
+    if ov_entries:
+        ov_entries = sorted(ov_entries)
+        gis = np.array([e[0] for e in ov_entries])
+        ov_out = np.array([e[1] for e in ov_entries], np.int64)
+        ov_in = np.array([e[2] for e in ov_entries], np.int64)
+        counts = np.bincount(gis, minlength=n_cols)
+        ov_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        pad = ov_cap + ov_seg - len(ov_out)
+        ov_out = np.concatenate([ov_out, np.full(pad, cap)]).astype(np.int32)
+        ov_in = np.concatenate([ov_in, np.full(pad, cap)]).astype(np.int32)
+    else:
+        ov_out = np.zeros(0, np.int32)
+        ov_in = np.zeros(0, np.int32)
+    return ov_in, ov_out, ov_off, ov_seg
 
 
 def _try_masked_shift_map(
@@ -680,59 +703,72 @@ def _try_masked_shift_map(
             anc = np.where(gapR, idx[kC] - 1, anc)
         anchors[gi] = anc.astype(np.int32)
 
+    # Inverse anchor map over the COMPLETE pair set (before any routing):
+    # the per-column anchor map is injective (a (dx, dy) translation between
+    # subsets of the grid, sentinels included — each gap output anchors its
+    # own boundary sentinel), so inv[gi, a] = o recovers every pair exactly
+    # once. The selector-kernel dW consumes pairs through this inverse
+    # tiling (ops/onehot_conv.py).
+    n_cols = len(cols)
+    inv_anchors = np.full((n_cols, cap), cap, np.int32)
+    for gi in range(n_cols):
+        m_ = anchors[gi] < cap
+        inv_anchors[gi, anchors[gi][m_]] = np.nonzero(m_)[0]
+
     # ---- overflow COO: anchors the windowed paths cannot reach ------------
     # (a) globally: |anchor - out| > GWIN_MARGIN breaks the windowed-gather
-    # variant's bound (ops/msconv.py); (b) per tile: outside the one-hot
+    # variant's bound (ops/msconv.py); (b) per tile: outside the selector
     # kernel's window (ops/onehot_conv.py). Routed entries are guarded in
-    # the anchors array, so every path adds the ov term exactly once.
+    # the anchors array, so every path adds the ov term exactly once. dW
+    # pairs are partitioned independently: inv_anchors (kernel) + dwov
+    # (COO) also cover every pair exactly once.
     from languagegroundedsemseg_tpu.ops.msconv import GWIN_MARGIN
 
     ov_entries = []
-    for gi in range(len(cols)):
+    for gi in range(n_cols):
         av_ = anchors[gi].astype(np.int64)
         far = (av_ < cap) & (np.abs(av_ - rows) > GWIN_MARGIN)
         for o, a_row in zip(np.nonzero(far)[0], av_[far]):
             ov_entries.append((gi, int(o), int(a_row)))
         anchors[gi][far] = cap
 
-    wstart = np.zeros(0, np.int32)
     ov_cap = max(128, (cap // 16 + 127) // 128 * 128)
-    if windowable:
-        anchors_w = anchors.copy()
-        wstart, ov_w = _window_annotation(anchors_w, cap)
-        if ov_w is not None and len(ov_entries) + len(ov_w) <= ov_cap:
-            anchors = anchors_w
-            ov_entries += ov_w
-        elif ov_w is not None:
-            wstart = np.zeros(0, np.int32)  # too many outliers: gather only
+    wstart = np.zeros(0, np.int32)
+    inv_wstart = np.zeros(0, np.int32)
+    dwov_entries: list = []
+    tile = win = 0
+    for t_, w_ in _WINDOW_MENU:
+        if cap % t_ or cap < max(2 * t_, w_):
+            continue
+        ws_f, bad_f = _percol_windows(anchors, cap, t_, w_)
+        ws_i, bad_i = _percol_windows(inv_anchors, cap, t_, w_)
+        if (len(ov_entries) + bad_f.sum() <= ov_cap
+                and bad_i.sum() <= ov_cap):
+            ov_entries += _route_bad(anchors, bad_f)
+            # dwov pairs in _ov_dw_pieces orientation: in = T3 row (the
+            # anchor r), out = the gradient row (the output o)
+            dwov_entries = _route_bad(inv_anchors, bad_i)
+            wstart = ws_f.T.reshape(-1)  # tile-major (t * n_cols + gi)
+            inv_wstart = ws_i.T.reshape(-1)
+            tile, win = t_, w_
+            break
     if len(ov_entries) > ov_cap:
         return None  # pathological outlier count: flat fallback
-    n_cols = len(cols)
-    ov_off = np.zeros(n_cols + 1, np.int32)
-    if ov_entries:
-        ov_entries.sort()
-        gis = np.array([e[0] for e in ov_entries])
-        ov_out = np.array([e[1] for e in ov_entries], np.int64)
-        ov_in = np.array([e[2] for e in ov_entries], np.int64)
-        counts = np.bincount(gis, minlength=n_cols)
-        ov_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-        ov_seg = ov_cap
-        pad = ov_cap + ov_seg - len(ov_out)
-        ov_out = np.concatenate([ov_out, np.full(pad, cap)]).astype(np.int32)
-        ov_in = np.concatenate([ov_in, np.full(pad, cap)]).astype(np.int32)
-    else:
-        ov_out = np.zeros(0, np.int32)
-        ov_in = np.zeros(0, np.int32)
-        ov_seg = ov_cap
+
+    ov_in, ov_out, ov_off, ov_seg = _pack_ov(ov_entries, n_cols, ov_cap, cap)
+    dwov_out, dwov_in, dwov_off, dwov_seg = _pack_ov(
+        dwov_entries, n_cols, ov_cap, cap)
 
     return MaskedShiftMap(
         mp=mp, mn=mn, mc=mc, anchors=anchors,
         ov_in=ov_in, ov_out=ov_out, ov_off=ov_off,
         wstart=wstart,
+        inv_anchors=inv_anchors, inv_wstart=inv_wstart,
+        dwov_in=dwov_in, dwov_out=dwov_out, dwov_off=dwov_off,
         cols=tuple([center_col] + cols),
         mirror_perm=tuple(int(v) for v in mirror_perm),
-        ov_seg=int(ov_seg),
-        col_groups=(3, 3, 3),
+        ov_seg=int(ov_seg), dwov_seg=int(dwov_seg),
+        tile=int(tile), win=int(win),
         companion=companion,
     )
 

@@ -128,15 +128,31 @@ class MaskedShiftMap:
     ov_in: jnp.ndarray
     ov_out: jnp.ndarray
     ov_off: jnp.ndarray
-    # One-hot window annotation (ops/onehot_conv.py): per-(tile, dx-group)
-    # window starts, flattened (n_tiles * 3,); empty when cap < 4 tiles.
+    # Selector-kernel window annotation (ops/onehot_conv.py): per-(tile,
+    # column) median-centered window starts, flattened (n_tiles * (G-1),)
+    # in tile-major order; empty when no (tile, win) config fits the
+    # anchor spread / overflow budget. ``tile``/``win`` are the static
+    # geometry the starts were computed for.
     wstart: jnp.ndarray
+    # Inverse anchors for the selector-kernel dW: inv_anchors[gi, r] = the
+    # output row whose column-gi anchor is r (cap = none) — the anchor map
+    # per column is injective, so this is exact. dW[col] = T3^T @ g[inv]
+    # (see ops/onehot_conv.py). inv_wstart: window starts over the inverse
+    # tiling; dwov_*: pairs outside the inverse windows (dW-only COO,
+    # same column-major segment format as ov_*).
+    inv_anchors: jnp.ndarray
+    inv_wstart: jnp.ndarray
+    dwov_in: jnp.ndarray
+    dwov_out: jnp.ndarray
+    dwov_off: jnp.ndarray
     cols: Tuple[Tuple[int, int, int], ...] = struct.field(pytree_node=False)
     mirror_perm: Tuple[int, ...] = struct.field(pytree_node=False)
     ov_seg: int = struct.field(pytree_node=False, default=0)
-    # columns per dx group in cols order (center group first)
-    col_groups: Tuple[int, int, int] = struct.field(
-        pytree_node=False, default=(3, 3, 3))
+    dwov_seg: int = struct.field(pytree_node=False, default=0)
+    # Static selector-kernel geometry: output rows per grid step / window
+    # rows per column. 0 = no window annotation (gather paths only).
+    tile: int = struct.field(pytree_node=False, default=0)
+    win: int = struct.field(pytree_node=False, default=0)
     companion: Optional[str] = struct.field(pytree_node=False, default=None)
 
     @property

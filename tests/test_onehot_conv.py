@@ -1,30 +1,30 @@
-"""Windowed one-hot gather-GEMM conv (ops/onehot_conv.py) vs flat oracle.
+"""Selector-kernel conv (ops/onehot_conv.py) vs flat oracle.
 
-Runs the Pallas kernel in interpreter mode on CPU (auto-selected off-TPU);
-bf16 compute gives ~1e-2 relative tolerance vs the f32 flat path.
+Runs the Pallas kernels in interpreter mode on CPU (interpret=True); bf16
+projection/selection gives ~1e-2 relative tolerance vs the f32 flat path.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from languagegroundedsemseg_tpu.ops.onehot_conv import TILE, onehot_window_conv
+from languagegroundedsemseg_tpu.ops.onehot_conv import onehot_window_conv
 from languagegroundedsemseg_tpu.ops.spconv import sparse_conv
 from languagegroundedsemseg_tpu.sparse import GraphSpec, MapSpec, build_graph
-from languagegroundedsemseg_tpu.sparse.graph_host import default_capacities, pack_keys
+from languagegroundedsemseg_tpu.sparse.graph_host import pack_keys
 from languagegroundedsemseg_tpu.sparse.offsets import ConvKind
 from languagegroundedsemseg_tpu.sparse.types import MaskedShiftMap
 from oracles import make_cloud
 
-CAP = 4 * TILE  # smallest windowed capacity
+CAP = 4096
 
 
-def _graph(seed=0, n=3000):
+def _graph(seed=0, n=3000, cap=CAP):
     rng = np.random.default_rng(seed)
     coords = make_cloud(rng, n=n, extent=40)
     coords = coords[np.argsort(pack_keys(coords), kind="stable")]
     spec = GraphSpec(num_levels=1, maps={"k3": MapSpec(0, 0, ConvKind(3), fuse_width=3)})
-    g = build_graph(coords, spec, (CAP,), drop_redundant=False)
+    g = build_graph(coords, spec, (cap,), drop_redundant=False)
     return rng, g
 
 
@@ -32,20 +32,45 @@ def test_window_annotation_built():
     _, g = _graph()
     m = g.gmaps["k3"]
     assert isinstance(m, MaskedShiftMap)
-    assert m.wstart.shape == (CAP // TILE * 3,)
-    ws = np.asarray(m.wstart)
-    assert (ws % 8 == 0).all() and (ws >= 0).all() and (ws <= CAP).all()
-    # every remaining (non-guard) anchor lies inside its tile's window
-    from languagegroundedsemseg_tpu.ops.onehot_conv import WIN
+    assert m.tile > 0 and m.win > 0 and CAP % m.tile == 0
+    n_cols = m.anchors.shape[0]
+    for ws_name, anch in (("wstart", m.anchors), ("inv_wstart", m.inv_anchors)):
+        ws = np.asarray(getattr(m, ws_name))
+        assert ws.shape == (CAP // m.tile * n_cols,)
+        assert (ws % 8 == 0).all() and (ws >= 0).all()
+        assert (ws <= CAP - m.win).all()
+        # every remaining (non-guard) anchor lies inside its tile's window
+        a2 = np.asarray(anch)
+        for t in range(CAP // m.tile):
+            for ci in range(n_cols):
+                w0 = ws[t * n_cols + ci]
+                a = a2[ci, t * m.tile:(t + 1) * m.tile]
+                a = a[a < CAP]
+                assert ((a >= w0) & (a < w0 + m.win)).all()
 
+
+def test_inverse_anchors_partition_pairs():
+    """inv_anchors + dwov must cover exactly the pairs that anchors + ov
+    cover (each pair once) — the dW partition invariant."""
+    _, g = _graph(5)
+    m = g.gmaps["k3"]
+    n_cols = m.anchors.shape[0]
     anchors = np.asarray(m.anchors)
-    group_of_col = [0, 0, 1, 1, 1, 2, 2, 2]
-    for t in range(CAP // TILE):
-        for ci in range(8):
-            w0 = ws[t * 3 + group_of_col[ci]]
-            a = anchors[ci, t * TILE:(t + 1) * TILE]
-            a = a[a < CAP]
-            assert ((a >= w0) & (a < w0 + WIN)).all()
+    inv = np.asarray(m.inv_anchors)
+    ov_off = np.asarray(m.ov_off)
+    dwov_off = np.asarray(m.dwov_off)
+    for gi in range(n_cols):
+        fwd_pairs = {(int(a), int(o)) for o, a in enumerate(anchors[gi]) if a < CAP}
+        s = slice(ov_off[gi], ov_off[gi + 1])
+        fwd_pairs |= {(int(a), int(o)) for a, o in
+                      zip(np.asarray(m.ov_in)[s], np.asarray(m.ov_out)[s])}
+        inv_pairs = {(int(r), int(o)) for r, o in enumerate(inv[gi]) if o < CAP}
+        s = slice(dwov_off[gi], dwov_off[gi + 1])
+        inv_pairs |= {(int(r), int(o)) for r, o in
+                      zip(np.asarray(m.dwov_in)[s], np.asarray(m.dwov_out)[s])}
+        assert fwd_pairs == inv_pairs
+        assert len(fwd_pairs) == len([a for a in anchors[gi] if a < CAP]) + (
+            ov_off[gi + 1] - ov_off[gi])
 
 
 def test_onehot_conv_matches_flat():
@@ -59,7 +84,7 @@ def test_onehot_conv_matches_flat():
         w = jnp.asarray((rng.normal(size=(27, cin, cout)) * 0.1).astype(np.float32))
         flat = sparse_conv(x, w, km.idx, center_slot=km.center_slot,
                            mirror_perm=km.mirror_perm)
-        fused = onehot_window_conv(x, w, m)
+        fused = onehot_window_conv(x, w, m, interpret=True)
         assert fused is not None
         scale = np.abs(np.asarray(flat)[:n]).max() + 1e-9
         err = np.abs(np.asarray(fused)[:n] - np.asarray(flat)[:n]).max() / scale
@@ -84,7 +109,7 @@ def test_onehot_grads_match_flat():
                             mirror_perm=km.mirror_perm) * ct).sum()
 
     def loss_fused(x, w):
-        return (onehot_window_conv(x, w, m) * ct).sum()
+        return (onehot_window_conv(x, w, m, interpret=True) * ct).sum()
 
     gx1, gw1 = jax.grad(loss_flat, (0, 1))(x, w)
     gx2, gw2 = jax.grad(loss_fused, (0, 1))(x, w)
@@ -96,13 +121,13 @@ def test_onehot_grads_match_flat():
 
 def test_small_caps_have_no_windows():
     rng = np.random.default_rng(3)
-    coords = make_cloud(rng, n=300)
+    coords = make_cloud(rng, n=60)
     coords = coords[np.argsort(pack_keys(coords), kind="stable")]
     spec = GraphSpec(num_levels=1, maps={"k3": MapSpec(0, 0, ConvKind(3), fuse_width=3)})
-    g = build_graph(coords, spec, (512,), drop_redundant=False)
+    g = build_graph(coords, spec, (128,), drop_redundant=False)
     m = g.gmaps.get("k3")
     if m is not None:
-        assert m.wstart.size == 0
-        x = jnp.zeros((512, 8), np.float32)
+        assert m.tile == 0 and m.wstart.size == 0
+        x = jnp.zeros((128, 8), np.float32)
         w = jnp.zeros((27, 8, 8), np.float32)
-        assert onehot_window_conv(x, w, m) is None
+        assert onehot_window_conv(x, w, m, interpret=True) is None

@@ -15,7 +15,6 @@ lib/datasets/scannet.py:442).
 
 from __future__ import annotations
 
-import warnings
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -566,12 +565,12 @@ def _percol_windows(anchors, cap, tile, win):
     n_tiles = cap // tile
     a = anchors.reshape(n_cols, n_tiles, tile).astype(np.float64)
     a = np.where(a < cap, a, np.nan)
-    with warnings.catch_warnings():
-        # all-guard tiles are expected (empty columns); they get the
-        # identity-diagonal default below
-        warnings.simplefilter("ignore", RuntimeWarning)
-        med = np.nanmedian(a, axis=2)
-    med = np.where(np.isnan(med), (np.arange(n_tiles) * tile)[None, :], med)
+    # all-guard tiles get the identity-diagonal default (pre-filled with 0
+    # rather than warned about by an all-NaN nanmedian — loader worker
+    # threads make warnings-context suppression racy)
+    empty = np.isnan(a).all(axis=2)
+    med = np.nanmedian(np.where(empty[:, :, None], 0.0, a), axis=2)
+    med = np.where(empty, (np.arange(n_tiles) * tile)[None, :], med)
     w0 = (np.clip(med.astype(np.int64) - win // 2, 0, cap - win)) & ~7
     av = anchors.reshape(n_cols, n_tiles, tile).astype(np.int64)
     bad = (av < cap) & ((av < w0[:, :, None]) | (av >= w0[:, :, None] + win))

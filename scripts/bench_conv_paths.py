@@ -43,11 +43,7 @@ def main():
     g = build_graph(coords, spec, (cap,), drop_redundant=False)
     km, m = g.maps["k3"], g.gmaps["k3"]
     km_idx = jax.device_put(jnp.asarray(km.idx))
-    import dataclasses
-
-    m = dataclasses.replace(
-        m, **{f: jax.device_put(jnp.asarray(getattr(m, f)))
-              for f in ("mp", "mn", "anchors", "lo_in", "lo_out", "lo_slot", "wstart")})
+    m = jax.device_put(m)  # MaskedShiftMap is a pytree
 
     def timeit(f, *args, iters=10):
         out = f(*args)

@@ -153,3 +153,35 @@ def test_dead_flags_fail_loudly():
         Config(point_lim=100)
     with pytest.raises(ValueError, match="eval_upsample"):
         Config(eval_upsample=True)
+
+
+def test_streaming_ap_matches_exact():
+    """2048-bin histogram AP vs exact sort-based AP (the torchmetrics
+    semantics at reference pl_BaselineTrainer.py:54-70): binning only
+    reorders ties within one 1/2048 probability step."""
+    import numpy as np
+    from languagegroundedsemseg_tpu.eval.miou import (
+        ap_from_histograms,
+        ap_histograms_jax,
+    )
+
+    rng = np.random.default_rng(0)
+    n, c = 5000, 5
+    labels = rng.integers(0, c, size=n)
+    # correlated scores so AP is far from both 0 and 1
+    probs = rng.uniform(size=(n, c)) * 0.7
+    probs[np.arange(n), labels] += 0.3 * rng.uniform(size=n)
+
+    tp, fp = ap_histograms_jax(probs, labels, c)
+    got = ap_from_histograms(np.asarray(tp), np.asarray(fp))
+
+    for k in range(c):
+        y = (labels == k).astype(np.float64)
+        order = np.argsort(-probs[:, k], kind="stable")
+        ys = y[order]
+        tps = np.cumsum(ys)
+        precision = tps / np.arange(1, n + 1)
+        recall = tps / y.sum()
+        r_prev = np.concatenate([[0.0], recall[:-1]])
+        want = ((recall - r_prev) * precision).sum()
+        assert abs(got[k] - want) < 2e-3, (k, got[k], want)

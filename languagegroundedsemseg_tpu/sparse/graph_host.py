@@ -527,16 +527,31 @@ def expand_sentinels(
             continue
         idx = maps_idx[name]
         n_out_old = old_nums[ms.level_out]
-        vals = idx[:, :n_out_old].astype(np.int64)
-        ok = vals >= 0
+        vals = idx[:, :n_out_old]
         if in_info is not None:
-            vals = np.where(ok, in_info["new_pos"][np.clip(vals, 0, None)], -1)
+            # remap input rows through a lookup table; slot -1 at the END so
+            # numpy's negative-index wraparound maps missing (-1) entries to
+            # -1 with no mask/clip/where passes (this loop runs over every
+            # (K, cap) table each batch — keep it single-gather int32)
+            n_in_old = old_nums[ms.level_in]
+            table = np.empty(n_in_old + 1, np.int32)
+            table[:n_in_old] = in_info["new_pos"][:n_in_old]
+            table[n_in_old] = -1
+            vals = table[vals]
         if out_info is not None:
-            new_idx = np.full_like(idx, -1)
-            new_idx[:, out_info["new_pos"]] = np.where(ok, vals, -1).astype(np.int32)
-            maps_idx[name] = new_idx
+            # column gather through a small permutation (one pass over the
+            # table): new column j reads old column colmap[j], with the
+            # appended all--1 column serving rows that have no old column.
+            # (np.full_like + fancy scatter measured ~5x slower here.)
+            k = idx.shape[0]
+            cap_out = idx.shape[1]
+            colmap = np.full(cap_out, n_out_old, np.int32)
+            colmap[out_info["new_pos"]] = np.arange(n_out_old, dtype=np.int32)
+            vals_ext = np.concatenate(
+                [vals, np.full((k, 1), -1, idx.dtype)], axis=1)
+            maps_idx[name] = vals_ext[:, colmap]
         else:
-            idx[:, :n_out_old] = np.where(ok, vals, -1).astype(np.int32)
+            idx[:, :n_out_old] = vals
     return info
 
 
@@ -563,16 +578,18 @@ def _percol_windows(anchors, cap, tile, win):
     """
     n_cols = anchors.shape[0]
     n_tiles = cap // tile
-    a = anchors.reshape(n_cols, n_tiles, tile).astype(np.float64)
-    a = np.where(a < cap, a, np.nan)
-    # all-guard tiles get the identity-diagonal default (pre-filled with 0
-    # rather than warned about by an all-NaN nanmedian — loader worker
-    # threads make warnings-context suppression racy)
-    empty = np.isnan(a).all(axis=2)
-    med = np.nanmedian(np.where(empty[:, :, None], 0.0, a), axis=2)
-    med = np.where(empty, (np.arange(n_tiles) * tile)[None, :], med)
-    w0 = (np.clip(med.astype(np.int64) - win // 2, 0, cap - win)) & ~7
-    av = anchors.reshape(n_cols, n_tiles, tile).astype(np.int64)
+    av = anchors.reshape(n_cols, n_tiles, tile)
+    # lower median via integer sort: guard anchors (= cap) sort to the end,
+    # so the median of valid entries sits at index (count-1)//2. (An order
+    # of magnitude faster than nanmedian's masked-array path — this runs
+    # per menu trial per map per batch.)
+    srt = np.sort(av, axis=2)
+    cnt = (srt < cap).sum(axis=2)
+    mid = np.maximum(cnt - 1, 0) // 2
+    med = np.take_along_axis(srt, mid[:, :, None], axis=2)[:, :, 0].astype(np.int64)
+    # all-guard tiles get the identity-diagonal default
+    med = np.where(cnt > 0, med, np.arange(n_tiles, dtype=np.int64)[None, :] * tile)
+    w0 = (np.clip(med - win // 2, 0, cap - win)) & ~7
     bad = (av < cap) & ((av < w0[:, :, None]) | (av >= w0[:, :, None] + win))
     return w0.astype(np.int32), bad.reshape(n_cols, cap)
 
@@ -849,7 +866,9 @@ def finalize_graph(
                         continue
                     idx = maps_idx[name]
                     if new_cap < idx.shape[1]:
-                        maps_idx[name] = np.ascontiguousarray(idx[:, :new_cap])
+                        # view, not copy: every downstream consumer either
+                        # rewrites (expand_sentinels) or re-packs the table
+                        maps_idx[name] = idx[:, :new_cap]
                     else:
                         maps_idx[name] = np.concatenate(
                             [idx, np.full((idx.shape[0], new_cap - idx.shape[1]),

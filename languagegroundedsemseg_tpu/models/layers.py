@@ -93,6 +93,13 @@ class SparseConv(nn.Module):
                 out = fn(xd, wd, gm, bd)
                 if out is not None:
                     return out
+        if idx.shape[1] == 1 and x.shape[0] > 1:
+            raise RuntimeError(
+                f"conv map '{self.map_name}': every fused path declined "
+                f"(cap={x.shape[0]}, c_in={c_in}, c_out={self.features}) "
+                "but the flat table was dropped as redundant at build time "
+                "(graph_host._drop_redundant_flat_maps). Build the graph "
+                "with drop_redundant=False or keep_flat=True for this map.")
         return sparse_conv(
             xd, wd, idx, bd,
             center_slot=km.center_slot,

@@ -36,10 +36,10 @@ def res16unet_graph_spec(conv1_kernel_size: int = 3, d: int = 3) -> GraphSpec:
     """All kernel maps any Res16UNet variant needs.
 
     Every stride-1 k3 map gets the masked-shift fusion (fuse_width=3,
-    ops/msconv.py): 8 fused gathered rows + leftover COO instead of 26 flat
-    rows per voxel. The flat table ships alongside (keep_flat default): at
-    runtime each conv falls back to it when its T3 table would exceed the
-    fast-table byte budget (wide decoder channels at the big levels).
+    ops/msconv.py) plus, when the anchor spread admits a window annotation,
+    the selector kernel (ops/onehot_conv.py) that serves any channel width.
+    The flat table ships only when neither covers every consumer
+    (graph_host._drop_redundant_flat_maps decides per batch).
     Down/up k2s2 maps stay flat + ParentMap (small row counts; the up
     conv's backward routes dX through the companion's flat table).
     """

@@ -1000,15 +1000,25 @@ def _drop_redundant_flat_maps(maps: dict, gmaps: dict, droppable=None) -> None:
     """Replace flat (K, cap) tables with 1-wide dummies wherever the device
     path is fully served by a fused map — saves ~K x cap x 4 B of host->device
     traffic per map. A fused map only replaces the flat path when its
-    backward is gather-only (mirror or companion ParentMap) and the spec
-    declares no wide-channel consumers (MapSpec.keep_flat)."""
+    backward is gather-only (mirror or companion ParentMap) and either the
+    spec declares no wide-channel consumers (MapSpec.keep_flat) or the
+    selector-kernel window annotation covers any plausible channel width
+    (ops/onehot_conv.py VMEM guard checked at c_out = 512, above every
+    model-zoo head)."""
+    from languagegroundedsemseg_tpu.ops import onehot_conv as _oh
+
     for name, gm in gmaps.items():
         if isinstance(gm, ParentMap):
             served = True
         elif isinstance(gm, MaskedShiftMap):
             # masked-shift serves fwd+bwd itself, but wide-channel consumers
-            # fall back to the flat path at runtime (fast-table byte budget)
-            served = droppable is not None and name in droppable
+            # run the selector kernel — droppable once window-annotated
+            served = (droppable is not None and name in droppable) or (
+                gm.tile > 0
+                and _oh._vmem_estimate(
+                    gm.anchors.shape[0], gm.tile, gm.win, 512)
+                <= _oh.VMEM_BUDGET
+            )
         else:
             served = False
         if served and maps[name].idx.shape[1] > 1:

@@ -135,8 +135,12 @@ class BatchBuilder:
         extra_cat = {k: v[order] for k, v in extra_cat.items()}
 
         glay: dict = {}
+        # Pinned (multi-device) builds keep every flat table: which fused
+        # maps survive the cross-shard harmonization is a global decision,
+        # so redundant flats are dropped after stacking
+        # (graph_host.drop_covered_flat_maps), not per shard.
         graph = build_graph(coords, self.spec, self.capacities(cap0),
-                            layout_out=glay, flex=flex)
+                            layout_out=glay, flex=flex, drop_redundant=flex)
         cap0 = graph.levels[0].valid.shape[0]  # post-flex level-0 capacity
         # Sentinel expansion (sparse/graph_host.py:expand_sentinels) may have
         # interleaved zero rows: real level-0 row i now lives at pos0[i].

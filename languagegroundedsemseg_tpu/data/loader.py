@@ -196,6 +196,14 @@ class DataLoader:
         ]
         if self.num_devices == 1:
             b = device_batches[0]
+            if getattr(b, "graph", None) is not None:
+                # pinned single-device builds keep flats (see batching.py);
+                # no cross-shard decision here, so drop covered ones now
+                from languagegroundedsemseg_tpu.sparse.graph_host import (
+                    drop_covered_flat_maps,
+                )
+
+                b = b.replace(graph=drop_covered_flat_maps(b.graph))
         else:
             from languagegroundedsemseg_tpu.parallel.dp import stack_batches
 

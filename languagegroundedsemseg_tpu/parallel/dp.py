@@ -50,11 +50,19 @@ def stack_batches(batches):
             if len({_sig(g.gmaps[n]) for g in graphs}) == 1
         }
         if any(set(g.gmaps) != keep for g in graphs):
-            batches = [
-                b.replace(graph=g.replace(
-                    gmaps={n: g.gmaps[n] for n in keep}))
-                for b, g in zip(batches, graphs)
-            ]
+            graphs = [g.replace(gmaps={n: g.gmaps[n] for n in keep})
+                      for g in graphs]
+        # Now that every shard agrees on which fused maps survive, drop the
+        # flat tables they cover — identically on all shards (per-shard
+        # builds keep flats in pinned mode exactly for this).
+        from languagegroundedsemseg_tpu.sparse.graph_host import (
+            drop_covered_flat_maps,
+        )
+
+        batches = [
+            b.replace(graph=drop_covered_flat_maps(g))
+            for b, g in zip(batches, graphs)
+        ]
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *batches)
 
 

@@ -996,6 +996,18 @@ def build_graph(
         layout_out=layout_out, flex=flex,
     )
 
+def drop_covered_flat_maps(graph: ConvGraph) -> ConvGraph:
+    """Return a graph whose flat tables are dummied wherever a fused map
+    covers them (same rule as the build-time drop). Multi-device builds
+    keep flats per shard (batching.py pinned mode) so that this decision —
+    which must be IDENTICAL across shards to stack — runs after the shard
+    harmonization intersected the fused maps (parallel/dp.py)."""
+    maps = dict(graph.maps)
+    gmaps = dict(graph.gmaps)
+    _drop_redundant_flat_maps(maps, gmaps)
+    return ConvGraph(levels=graph.levels, maps=maps, gmaps=gmaps)
+
+
 def _drop_redundant_flat_maps(maps: dict, gmaps: dict, droppable=None) -> None:
     """Replace flat (K, cap) tables with 1-wide dummies wherever the device
     path is fully served by a fused map — saves ~K x cap x 4 B of host->device

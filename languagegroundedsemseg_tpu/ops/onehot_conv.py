@@ -180,6 +180,38 @@ def _run_gsel(inv_wstart, inv_anchors, g, tile, winw, interpret):
     )(inv_wstart, inv_anchors, g)
 
 
+_TPU_PROBE: dict = {}
+
+
+def _tpu_kernels_ok() -> bool:
+    """One-time probe: compile + run tiny selector kernels on the real TPU.
+
+    A Mosaic/toolchain incompatibility would otherwise surface as a compile
+    error inside the WHOLE model's jit; probing lets routing fall back to
+    the gather paths instead. Result is cached per process.
+    """
+    if "ok" not in _TPU_PROBE:
+        try:
+            import numpy as _np
+
+            cap, tile, winw, c_out, n_cols = 1024, 256, 512, 128, 2
+            wstart = jnp.zeros((cap // tile * n_cols,), jnp.int32)
+            anchors = jnp.tile(jnp.arange(cap, dtype=jnp.int32), (n_cols, 1))
+            acc0 = jnp.zeros((cap, c_out), jnp.float32)
+            src = jnp.ones((n_cols, cap, c_out), jnp.bfloat16)
+            out = _run_sel_fwd(wstart, anchors, acc0, src, tile, winw, False)
+            g = jnp.ones((cap, c_out), jnp.bfloat16)
+            out2 = _run_gsel(wstart, anchors, g, tile, winw, False)
+            # force real execution (block_until_ready alone can return
+            # early under the axon relay)
+            _TPU_PROBE["ok"] = bool(
+                _np.isfinite(float(out[0, 0])) and _np.isfinite(float(out2[0, 0, 0]))
+            )
+        except Exception:  # noqa: BLE001 — any failure means "don't route here"
+            _TPU_PROBE["ok"] = False
+    return _TPU_PROBE["ok"]
+
+
 class OHMeta(NamedTuple):
     cols: Tuple[Tuple[int, int, int], ...]
     mirror_perm: Tuple[int, ...]
@@ -292,6 +324,8 @@ def onehot_window_conv(x, w, msmap, bias=None, interpret=None):
         # Off-TPU the interpreted kernel is far slower than the gather
         # paths — only run it when a caller (tests) asks explicitly.
         if jax.default_backend() != "tpu":
+            return None
+        if not _tpu_kernels_ok():
             return None
         interpret = False
     cap = x.shape[0]

@@ -776,7 +776,10 @@ def _try_masked_shift_map(
         dwov_entries, n_cols, ov_cap, cap)
 
     return MaskedShiftMap(
-        mp=mp, mn=mn, mc=mc, anchors=anchors,
+        # {0,1} masks ship (and stream on device) as uint8; every consumer
+        # casts into the compute dtype (ops/msconv.py _t3)
+        mp=mp.astype(np.uint8), mn=mn.astype(np.uint8),
+        mc=mc.astype(np.uint8), anchors=anchors,
         ov_in=ov_in, ov_out=ov_out, ov_off=ov_off,
         wstart=wstart,
         inv_anchors=inv_anchors, inv_wstart=inv_wstart,
@@ -893,8 +896,9 @@ def finalize_graph(
             num=np.int32(nums[l]),
             stride=1 << l,
             valid=(
-                sent_info[l]["valid"] if sent_info[l] is not None
-                else (np.arange(capacities[l]) < nums[l]).astype(np.float32)
+                sent_info[l]["valid"].astype(np.uint8)
+                if sent_info[l] is not None
+                else (np.arange(capacities[l]) < nums[l]).astype(np.uint8)
             ),
         )
         for l in range(spec.num_levels)

@@ -61,7 +61,25 @@ def main():
     n_valid = int(np.asarray(batch.graph.levels[0].valid).sum())
 
     model = Res16UNet34C(out_channels=200)
-    variables = model.init(jax.random.PRNGKey(0), batch.feats, batch.graph, train=False)
+    # Shape-only init: eager init on the device pays an op-by-op
+    # remote-compile storm under axon (minutes); throughput is
+    # value-independent, so materialize the param pytree from eval_shape.
+    import functools
+
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(
+        functools.partial(model.init, train=False),
+        jax.random.PRNGKey(0), batch.feats, batch.graph,
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    vals = [
+        jnp.asarray(0.05 * rng.standard_normal(l.shape), dtype=l.dtype)
+        if jnp.issubdtype(l.dtype, jnp.floating)
+        else jnp.zeros(l.shape, l.dtype)
+        for l in leaves
+    ]
+    variables = jax.tree_util.tree_unflatten(treedef, vals)
 
     @jax.jit
     def fwd(variables, feats, graph):

@@ -297,9 +297,17 @@ def _oh_bwd(meta: OHMeta, res, g_out):
     g32 = g_out.astype(jnp.float32)
     wt = _mirror_w(w, _ms_meta(meta))
     # dX: same pair structure with mirrored transposed weights (exact for
-    # any kernel/COO partition of the pairs — see ops/msconv.py).
+    # any kernel/COO partition of the pairs — see ops/msconv.py). The dX
+    # kernel's lane width is c_in — pad to the 128 lane tile like the
+    # forward does for c_out, and slice back.
+    c_in = x.shape[1]
+    ci_pad = (-c_in) % 128
+    if ci_pad:
+        wt = jnp.pad(wt, ((0, 0), (0, 0), (0, ci_pad)))
     dx = _oh_fwd_impl(g32, wt, mp, mn, mc, anchors, wstart, ov_in, ov_out,
                       ov_off, meta)
+    if ci_pad:
+        dx = dx[:, :c_in]
     dw = _oh_dw_impl(x, g32 * mc[:, None], mp, mn, mc, inv_anchors,
                      inv_wstart, dwov_in, dwov_out, dwov_off, meta,
                      w.shape[0])
@@ -333,17 +341,27 @@ def onehot_window_conv(x, w, msmap, bias=None, interpret=None):
     n_cols = msmap.anchors.shape[0]
     if cap % tile or cap < winw:
         return None
-    if _vmem_estimate(n_cols, tile, winw, c_out) > VMEM_BUDGET:
+    # Mosaic HBM memref slices must be 128-aligned in the lane dim: pad the
+    # output channels of W to the next lane-tile multiple (the projection
+    # GEMMs pad lanes to 128 internally anyway, so the extra columns are
+    # near-free) and slice the result back. The pad/slice VJP pair keeps
+    # dX/dW exact at the original width.
+    c_pad = (-c_out) % 128
+    c_run = c_out + c_pad
+    if _vmem_estimate(n_cols, tile, winw, c_run) > VMEM_BUDGET:
         return None
     meta = OHMeta(tuple(msmap.cols), tuple(msmap.mirror_perm),
                   int(msmap.ov_seg), int(msmap.dwov_seg), tile, winw,
                   interpret)
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad))) if c_pad else w
     out = _oh_core(
-        x, w, msmap.mp, msmap.mn, msmap.mc, msmap.anchors, msmap.wstart,
+        x, wp, msmap.mp, msmap.mn, msmap.mc, msmap.anchors, msmap.wstart,
         msmap.inv_anchors, msmap.inv_wstart,
         msmap.ov_in, msmap.ov_out, msmap.ov_off,
         msmap.dwov_in, msmap.dwov_out, msmap.dwov_off, meta,
     )
+    if c_pad:
+        out = out[:, :c_out]
     if bias is not None:
         out = out + bias * msmap.mc[:, None]
     return out

@@ -88,8 +88,28 @@ def _wstack(w, cols):
     )
 
 
-def _ov_fwd(t3, ws, ov_in, ov_out, ov_off, n_out, c_out, ov_seg):
-    """Window-overflow COO: out[ov_out] += t3[ov_in] @ ws[col].
+def _gather_t3_rows(x, mp, mn, mc, idx):
+    """Rows of T3 at ``idx`` WITHOUT materializing T3: three narrow fused
+    gathers from x (plus mask gathers). An explicit ``take`` from the
+    (cap+1, 3C) T3 forces XLA to materialize the whole table first —
+    measured 12.9 ms of a 34.5 ms L0 conv — while per-third gathers from
+    x fuse. The guard index (== cap) yields a zero row, matching T3's
+    appended zero guard; the %cap wraparound matches jnp.roll (those rows
+    are masked by mp/mn exactly as in _t3)."""
+    cap = x.shape[0]
+    dt = x.dtype
+    valid = (idx < cap).astype(dt)[:, None]
+    j = jnp.where(idx < cap, idx, 0)
+    gp = jnp.take(x, (j - 1) % cap, axis=0) * (
+        jnp.take(mp, j).astype(dt)[:, None] * valid)
+    gc = jnp.take(x, j, axis=0) * (jnp.take(mc, j).astype(dt)[:, None] * valid)
+    gn = jnp.take(x, (j + 1) % cap, axis=0) * (
+        jnp.take(mn, j).astype(dt)[:, None] * valid)
+    return jnp.concatenate([gp, gc, gn], axis=1)
+
+
+def _ov_fwd(x, mp, mn, mc, ws, ov_in, ov_out, ov_off, n_out, c_out, ov_seg):
+    """Window-overflow COO: out[ov_out] += T3[ov_in] @ ws[col].
 
     Column-major segments (ov_off[gi] = start of column gi's segment);
     each segment is one un-masked matmul over a dynamic slice of the
@@ -99,7 +119,7 @@ def _ov_fwd(t3, ws, ov_in, ov_out, ov_off, n_out, c_out, ov_seg):
     """
     if ov_in.shape[0] == 0:
         return 0.0
-    g = jnp.take(t3, ov_in, axis=0)
+    g = _gather_t3_rows(x, mp, mn, mc, ov_in)
     rows = g.shape[0]
     contrib = jnp.zeros((rows, c_out), jnp.float32)
     for gi in range(ws.shape[0] - 1):
@@ -177,8 +197,8 @@ def _ms_fwd_impl(x, w, mp, mn, mc, anchors, ov_in, ov_out, ov_off,
             outs.append(acc)
         acc = jnp.concatenate(outs, axis=0)
 
-    acc = acc + _ov_fwd(t3, ws, ov_in, ov_out, ov_off, cap, c_out,
-                        meta.ov_seg)
+    acc = acc + _ov_fwd(x, mp, mn, mc, ws, ov_in, ov_out, ov_off, cap,
+                        c_out, meta.ov_seg)
     return acc * mc[:, None]
 
 
@@ -209,21 +229,22 @@ def _ms_dw_impl(x, g32, mp, mn, mc, anchors, ov_in, ov_out, ov_off,
         put(col, lax.dot_general(
             g, g32, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
-    for gi, dcol in _ov_dw_pieces(t3, g32, ov_in, ov_out, ov_off,
-                                  len(meta.cols) - 1, meta.ov_seg):
+    for gi, dcol in _ov_dw_pieces(x, mp, mn, mc, g32, ov_in, ov_out,
+                                  ov_off, len(meta.cols) - 1, meta.ov_seg):
         put(meta.cols[gi + 1], dcol)
     zero = jnp.zeros((c_in, g32.shape[1]), jnp.float32)
     return jnp.stack([zero if d is None else d for d in dw])
 
 
-def _ov_dw_pieces(t3, g32, ov_in, ov_out, ov_off, n_cols, ov_seg):
+def _ov_dw_pieces(x, mp, mn, mc, g32, ov_in, ov_out, ov_off, n_cols,
+                  ov_seg):
     """ov dW: per-column segment outer products (rows beyond a segment are
     zeroed by an iota row mask since sums — unlike the forward's overwrites
     — would corrupt). Yields (column index, (3C, Cout) piece)."""
     if not ov_in.shape[0]:
         return
-    cap = t3.shape[0] - 1
-    gl = jnp.take(t3, ov_in, axis=0).astype(jnp.float32)
+    cap = x.shape[0]
+    gl = _gather_t3_rows(x, mp, mn, mc, ov_in).astype(jnp.float32)
     g_pad = jnp.concatenate(
         [g32, jnp.zeros((1, g32.shape[1]), jnp.float32)], axis=0)
     go = jnp.take(g_pad, jnp.minimum(ov_out, cap), axis=0)

@@ -191,7 +191,8 @@ def _tpu_kernels_ok() -> bool:
     the gather paths instead. Result is cached per process.
     """
     if "ok" not in _TPU_PROBE:
-        try:
+
+        def _probe():
             import numpy as _np
 
             cap, tile, winw, c_out, n_cols = 1024, 256, 512, 128, 2
@@ -204,9 +205,22 @@ def _tpu_kernels_ok() -> bool:
             out2 = _run_gsel(wstart, anchors, g, tile, winw, False)
             # force real execution (block_until_ready alone can return
             # early under the axon relay)
-            _TPU_PROBE["ok"] = bool(
-                _np.isfinite(float(out[0, 0])) and _np.isfinite(float(out2[0, 0, 0]))
+            return bool(
+                _np.isfinite(float(out[0, 0]))
+                and _np.isfinite(float(out2[0, 0, 0]))
             )
+
+        try:
+            # Routing runs at trace time, so this usually executes inside
+            # another jit's trace. JAX trace contexts are thread-local:
+            # run the probe in a worker thread so its pallas_calls compile
+            # and execute for real instead of being staged into the outer
+            # trace (which would raise and silently cache "kernel broken",
+            # pinning every conv to the gather paths).
+            import concurrent.futures as _cf
+
+            with _cf.ThreadPoolExecutor(max_workers=1) as _ex:
+                _TPU_PROBE["ok"] = _ex.submit(_probe).result(timeout=600)
         except Exception:  # noqa: BLE001 — any failure means "don't route here"
             _TPU_PROBE["ok"] = False
     return _TPU_PROBE["ok"]
@@ -242,8 +256,8 @@ def _oh_fwd_impl(x, w, mp, mn, mc, anchors, wstart, ov_in, ov_out, ov_off,
     ])
     acc = _run_sel_fwd(wstart, anchors, acc0, src, meta.tile, meta.win,
                        meta.interpret)
-    acc = acc + _ov_fwd(t3, wstk, ov_in, ov_out, ov_off, cap, c_out,
-                        meta.ov_seg)
+    acc = acc + _ov_fwd(x, mp, mn, mc, wstk, ov_in, ov_out, ov_off, cap,
+                        c_out, meta.ov_seg)
     return acc * mc[:, None]
 
 
@@ -269,8 +283,9 @@ def _oh_dw_impl(x, g32, mp, mn, mc, inv_anchors, inv_wstart,
         put(col, lax.dot_general(
             t3b, gsel[gi], dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
-    for gi, dcol in _ov_dw_pieces(t3, g32, dwov_in, dwov_out, dwov_off,
-                                  len(meta.cols) - 1, meta.dwov_seg):
+    for gi, dcol in _ov_dw_pieces(x, mp, mn, mc, g32, dwov_in, dwov_out,
+                                  dwov_off, len(meta.cols) - 1,
+                                  meta.dwov_seg):
         put(meta.cols[gi + 1], dcol)
     zero = jnp.zeros((c, g32.shape[1]), jnp.float32)
     return jnp.stack([zero if d is None else d for d in dw])

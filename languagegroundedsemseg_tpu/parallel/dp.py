@@ -45,6 +45,35 @@ def stack_batches(batches):
             leaves, treedef = jax.tree_util.tree_flatten(gm)
             return (treedef, tuple(np.shape(l) for l in leaves))
 
+        # MaskedShiftMaps whose only divergence is the overflow-COO bounds
+        # (tight, data-dependent buckets since _pack_ov) are harmonized by
+        # padding with guard rows — a semantic no-op — instead of dropping
+        # the fused path on every shard.
+        from languagegroundedsemseg_tpu.sparse.graph_host import (
+            pad_ms_overflow_to,
+        )
+        from languagegroundedsemseg_tpu.sparse.types import MaskedShiftMap
+
+        for n in keep:
+            ms = [g.gmaps[n] for g in graphs]
+            if not all(isinstance(m, MaskedShiftMap) for m in ms):
+                continue
+            if len({(m.cols, m.mirror_perm, m.tile, m.win) for m in ms}) != 1:
+                continue
+            if len({_sig(m) for m in ms}) == 1:
+                continue
+            seg = max(int(m.ov_seg) for m in ms)
+            dseg = max(int(m.dwov_seg) for m in ms)
+            na = max(
+                max(m.ov_in.shape[0] for m in ms),
+                max(int(m.ov_off[-1]) for m in ms) + seg,
+            ) if any(m.ov_in.shape[0] for m in ms) else 0
+            nd = max(
+                max(m.dwov_in.shape[0] for m in ms),
+                max(int(m.dwov_off[-1]) for m in ms) + dseg,
+            ) if any(m.dwov_in.shape[0] for m in ms) else 0
+            for g, m in zip(graphs, ms):
+                g.gmaps[n] = pad_ms_overflow_to(m, seg, na, dseg, nd)
         keep = {
             n for n in keep
             if len({_sig(g.gmaps[n]) for g in graphs}) == 1

@@ -604,23 +604,32 @@ def _route_bad(anchors, bad):
 
 
 def _pack_ov(ov_entries, n_cols, ov_cap, cap):
-    """Column-major padded COO arrays (see MaskedShiftMap.ov_*)."""
+    """Column-major padded COO arrays (see MaskedShiftMap.ov_*).
+
+    Static bounds are TIGHT power-of-2 buckets of the actual counts, not
+    the acceptance budget: ov_seg bounds the per-column dynamic_slice and
+    the array is padded so the last column's slice stays in bounds. The
+    old ``ov_seg = ov_cap`` padding made the device process 2*ov_cap
+    gather rows and 8*ov_cap GEMM rows per conv regardless of the real
+    overflow (12x the needed work at bench shapes). Pow-2 bucketing keeps
+    jit cache churn bounded while tracking the data.
+    """
     ov_off = np.zeros(n_cols + 1, np.int32)
-    ov_seg = ov_cap
-    if ov_entries:
-        ov_entries = sorted(ov_entries)
-        gis = np.array([e[0] for e in ov_entries])
-        ov_out = np.array([e[1] for e in ov_entries], np.int64)
-        ov_in = np.array([e[2] for e in ov_entries], np.int64)
-        counts = np.bincount(gis, minlength=n_cols)
-        ov_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-        pad = ov_cap + ov_seg - len(ov_out)
-        ov_out = np.concatenate([ov_out, np.full(pad, cap)]).astype(np.int32)
-        ov_in = np.concatenate([ov_in, np.full(pad, cap)]).astype(np.int32)
-    else:
-        ov_out = np.zeros(0, np.int32)
-        ov_in = np.zeros(0, np.int32)
-    return ov_in, ov_out, ov_off, ov_seg
+    if not ov_entries:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32), ov_off, 512
+    ov_entries = sorted(ov_entries)
+    gis = np.array([e[0] for e in ov_entries])
+    ov_out = np.array([e[1] for e in ov_entries], np.int64)
+    ov_in = np.array([e[2] for e in ov_entries], np.int64)
+    counts = np.bincount(gis, minlength=n_cols)
+    ov_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    ov_seg = max(512, 1 << int(np.ceil(np.log2(max(int(counts.max()), 1)))))
+    n_real = len(ov_out)
+    arr = max(1024, 1 << int(np.ceil(np.log2(n_real + ov_seg))))
+    pad = arr - n_real
+    ov_out = np.concatenate([ov_out, np.full(pad, cap)]).astype(np.int32)
+    ov_in = np.concatenate([ov_in, np.full(pad, cap)]).astype(np.int32)
+    return ov_in, ov_out, ov_off, int(ov_seg)
 
 
 def _try_masked_shift_map(
@@ -999,6 +1008,25 @@ def build_graph(
         fuse=fuse, fuse_grouped=fuse_grouped, drop_redundant=drop_redundant,
         layout_out=layout_out, flex=flex,
     )
+
+def pad_ms_overflow_to(m: "MaskedShiftMap", ov_seg: int, n_ov: int,
+                       dwov_seg: int, n_dwov: int) -> "MaskedShiftMap":
+    """Pad a MaskedShiftMap's overflow COO arrays to shared static bounds
+    (cross-shard harmonization, parallel/dp.py). Guard entries (in = out =
+    cap) are semantic no-ops: they gather the zero row and scatter past the
+    output range."""
+    cap = m.out_capacity
+
+    def pad(a, n):
+        if a.shape[0] >= n:
+            return a
+        return np.concatenate([a, np.full(n - a.shape[0], cap, a.dtype)])
+
+    return m.replace(
+        ov_in=pad(m.ov_in, n_ov), ov_out=pad(m.ov_out, n_ov),
+        dwov_in=pad(m.dwov_in, n_dwov), dwov_out=pad(m.dwov_out, n_dwov),
+        ov_seg=int(ov_seg), dwov_seg=int(dwov_seg))
+
 
 def drop_covered_flat_maps(graph: ConvGraph) -> ConvGraph:
     """Return a graph whose flat tables are dummied wherever a fused map

@@ -36,11 +36,15 @@ def main():
     from languagegroundedsemseg_tpu.ops.spconv import sparse_conv
 
     rng = np.random.default_rng(0)
-    builder = BatchBuilder(
-        spec=res16unet_graph_spec(),
-        fixed_capacity=262144,
-        level_ratios=(1, 0.55, 0.22, 0.08, 0.03),
-    )
+    import os as _os
+    if _os.environ.get("LGS_BENCH_FLEX", "1") == "1":
+        builder = BatchBuilder(spec=res16unet_graph_spec())
+    else:
+        builder = BatchBuilder(
+            spec=res16unet_graph_spec(),
+            fixed_capacity=262144,
+            level_ratios=(1, 0.55, 0.22, 0.08, 0.03),
+        )
     scenes = [_voxelize_scene(rng, 180_000) for _ in range(4)]
     batch = builder.build(scenes)
     graph = jax.device_put(batch.graph)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from languagegroundedsemseg_tpu.models import load_model, load_wrapper
 from languagegroundedsemseg_tpu.models.crf import MeanFieldCRF
@@ -95,6 +96,7 @@ def test_trilateral_time_separates_frames():
     assert acc_t == 1.0
 
 
+@pytest.mark.slow
 def test_wrapper_registry_and_forward():
     rng = np.random.default_rng(2)
     coords = make_cloud(rng, n=150)

@@ -4,6 +4,7 @@ scatter-based reference implementation."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from languagegroundedsemseg_tpu.models.res16unet import res16unet_graph_spec
 from languagegroundedsemseg_tpu.ops.spconv import (
@@ -107,6 +108,7 @@ def test_up_conv_idx_backward_matches_scatter():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_model_grads_match_with_gather_backward():
     """End-to-end: Res16UNet gradients identical with companion-equipped
     graph vs plain (scatter-backward) graph."""

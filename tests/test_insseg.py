@@ -1,6 +1,7 @@
 """Instance segmentation subsystem: ops, clustering, evaluator, trainer."""
 
 import numpy as np
+import pytest
 
 from languagegroundedsemseg_tpu.config import Config
 from languagegroundedsemseg_tpu.insseg.evaluation import InstanceEvaluator
@@ -193,6 +194,7 @@ def test_instance_evaluator_penalizes_bad_masks():
     assert m["ap_25"] > 0.0  # IoU 1/3 passes the 0.25 threshold
 
 
+@pytest.mark.slow
 def test_insseg_trainer_end_to_end(tmp_path):
     from languagegroundedsemseg_tpu.insseg.trainer import InssegTrainer
 
@@ -314,6 +316,7 @@ def test_instance_evaluator_hard_false_negative():
     np.testing.assert_allclose(ev.evaluate()["ap_50"], 0.5, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_insseg_trainer_validates_and_checkpoints(tmp_path):
     """fit() now validates periodically and writes dual-monitor checkpoints
     (reference ddp_main.py:75-78) and supports resume."""
@@ -341,6 +344,7 @@ def test_insseg_trainer_validates_and_checkpoints(tmp_path):
     assert int(tr2.state.step) == 3  # resumed at 2, +1
 
 
+@pytest.mark.slow
 def test_insseg_trainer_multidevice(tmp_path):
     """Data-parallel insseg training over the 8 virtual CPU devices
     (reference trains insseg on 8 GPUs, config/default.yaml:101-111)."""

@@ -25,7 +25,14 @@ def _graph_and_feats(model_cls, cap0=384, cin=3, seed=0):
 
 @pytest.mark.parametrize(
     "name",
-    ["ResNet14", "ResNet50", "ResUNet14", "MinkUNetHyper14INBN", "Res16UNet34D", "Res16UNet34Dv2"],
+    [
+        "ResNet14",
+        "Res16UNet34D",
+        pytest.param("ResNet50", marks=pytest.mark.slow),
+        pytest.param("ResUNet14", marks=pytest.mark.slow),
+        pytest.param("MinkUNetHyper14INBN", marks=pytest.mark.slow),
+        pytest.param("Res16UNet34Dv2", marks=pytest.mark.slow),
+    ],
 )
 def test_zoo_forward(name):
     cls = load_model(name)
@@ -56,6 +63,7 @@ def test_registry_covers_reference_families():
         assert want in names, f"{want} missing"
 
 
+@pytest.mark.slow
 def test_paired_model_shares_backbone():
     from languagegroundedsemseg_tpu.models.clip_models import Res16UNet34DPaired
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from languagegroundedsemseg_tpu.ops.msconv import masked_shift_conv
 from languagegroundedsemseg_tpu.ops.spconv import sparse_conv, sparse_conv_parent
@@ -199,6 +200,7 @@ def test_parent_conv_matches_flat():
     np.testing.assert_allclose(np.asarray(fused), np.asarray(flat), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_model_forward_same_with_and_without_fusion():
     """End-to-end: Res16UNet output identical with fused and flat maps."""
     from languagegroundedsemseg_tpu.models.res16unet import Res16UNet14A, res16unet_graph_spec
@@ -221,6 +223,7 @@ def test_model_forward_same_with_and_without_fusion():
     )
 
 
+@pytest.mark.slow
 def test_model_grads_same_with_and_without_fusion():
     from languagegroundedsemseg_tpu.models.res16unet import Res16UNet14A, res16unet_graph_spec
     from languagegroundedsemseg_tpu.sparse.graph_host import build_graph as bg

@@ -27,7 +27,7 @@ import pytest
 torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 
-G = 32  # dense grid edge (voxel coords in [0, G)^3); power of 2
+G = 16  # dense grid edge (voxel coords in [0, G)^3); power of 2 (>= 2**4 levels)
 PLANES = (32, 64, 128, 256, 256, 128, 96, 96)  # Res16UNet34C
 LAYERS = (2, 3, 4, 6, 2, 2, 2, 2)
 INIT = 32

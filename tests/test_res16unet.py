@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from languagegroundedsemseg_tpu.models import load_model, available_models
 from languagegroundedsemseg_tpu.models.res16unet import (
@@ -32,6 +33,7 @@ def test_registry_has_variants():
         assert want in names, f"{want} missing from registry"
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_finite():
     g, feats, n = _make_inputs()
     model = Res16UNet14A(out_channels=20)
@@ -64,6 +66,7 @@ def test_train_mode_updates_batch_stats():
     )
 
 
+@pytest.mark.slow
 def test_padding_invariance():
     """Same cloud, two different capacities -> identical valid-row outputs.
 
@@ -88,6 +91,7 @@ def test_padding_invariance():
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_bottleneck_variant_forward():
     g, feats, n = _make_inputs(n=150, cap0=256)
     model = load_model("Res16UNet50")(out_channels=10)

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from languagegroundedsemseg_tpu.config import Config
 from languagegroundedsemseg_tpu.data.batching import BatchBuilder
@@ -33,6 +34,7 @@ def test_paired_batch_correspondences_match_coords():
     assert (c1[:, 0] == c2[:, 0]).all()
 
 
+@pytest.mark.slow
 def test_simsiam_train_step_decreases_anchor_loss():
     cfg = Config(
         ignore_label=255, fixed_capacity=2048, balanced_category_sampling=False,

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from languagegroundedsemseg_tpu.models import load_model
 from languagegroundedsemseg_tpu.models.res16unet import STRes16UNet14A
@@ -16,6 +17,8 @@ from languagegroundedsemseg_tpu.sparse.offsets import (
     KernelRegion,
     region_offsets,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def _cloud_4d(rng, n=300, extent=10, frames=3, batch=2):

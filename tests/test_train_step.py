@@ -3,6 +3,7 @@ and multi-device results match single-device on the same global batch."""
 
 import jax
 import numpy as np
+import pytest
 
 from __graft_entry__ import _build_batch, dryrun_multichip
 from languagegroundedsemseg_tpu.data.batching import BatchBuilder
@@ -22,10 +23,12 @@ def _objective(logits, _feats, batch, _key, row_mask):
     )
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_smoke():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_single_device_loss_decreases():
     rng = np.random.default_rng(0)
     builder = BatchBuilder(spec=res16unet_graph_spec(), fixed_capacity=2048)
@@ -45,6 +48,7 @@ def test_single_device_loss_decreases():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_multichip_grads_match_single_chip():
     """psum-mean over 8 shards == mean grad over the concatenated batch.
 

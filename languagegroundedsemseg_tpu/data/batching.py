@@ -139,8 +139,15 @@ class BatchBuilder:
         # maps survive the cross-shard harmonization is a global decision,
         # so redundant flats are dropped after stacking
         # (graph_host.drop_covered_flat_maps), not per shard.
+        # Production loaders skip the per-batch invariant scans inside map
+        # fusion (~60 full-cap numpy passes per k3 map); our builders
+        # guarantee them by construction, and LGS_VALIDATE_GRAPH=1 re-arms
+        # them for debugging.
+        import os as _os
         graph = build_graph(coords, self.spec, self.capacities(cap0),
-                            layout_out=glay, flex=flex, drop_redundant=flex)
+                            layout_out=glay, flex=flex, drop_redundant=flex,
+                            validate=_os.environ.get(
+                                "LGS_VALIDATE_GRAPH", "0") == "1")
         cap0 = graph.levels[0].valid.shape[0]  # post-flex level-0 capacity
         # Sentinel expansion (sparse/graph_host.py:expand_sentinels) may have
         # interleaved zero rows: real level-0 row i now lives at pos0[i].

@@ -80,15 +80,16 @@ class SparseConv(nn.Module):
             idx_down = comp.idx if comp is not None and comp.idx.shape[1] > 1 else None
             return sparse_conv_parent(xd, wd, gm, bd, idx_down=idx_down)
         if isinstance(gm, MaskedShiftMap):
-            # Path choice by the measured cost model (PERF.md): the fused
-            # gather costs ~3 ns/row per 512-byte lane tile of the 3C-wide
-            # T3 row (8 rows/voxel), while the one-hot MXU kernel's selector
-            # cost is roughly width-independent — so the kernel wins once
-            # the T3 row spans >= 3 lane tiles (C >= ~86 at f32). Flat is
-            # the universal fallback.
-            wide = 3 * c_in * jnp.dtype(self.dtype).itemsize > 1024
-            paths = ([onehot_window_conv, masked_shift_conv] if wide
-                     else [masked_shift_conv, onehot_window_conv])
+            # Path choice by the measured cost model (PERF.md round 3): the
+            # fused gather is ROW-count bound (~4.4 ns/row x 8 rows/voxel
+            # = ~35 ns/voxel even at c_in=3, and ~2-3x that over the
+            # fast-table cliff), while the selector kernel is width-bound
+            # (~40 ns/voxel at c=96 and FALLS with narrower channels since
+            # the projection GEMM shrinks). Measured per-conv on v5e, the
+            # kernel wins or ties at every level/width of the zoo, so it
+            # leads whenever the map carries a window annotation; the
+            # gather paths remain for unannotated maps and off-TPU.
+            paths = [onehot_window_conv, masked_shift_conv]
             for fn in paths:
                 out = fn(xd, wd, gm, bd)
                 if out is not None:

@@ -74,8 +74,20 @@ def _vmem_estimate(n_cols: int, tile: int, win: int, c_out: int) -> int:
     )
 
 
-def _sel_fwd_kernel(n_cols, wstart_ref, anchors_ref, acc0_ref, src_ref,
-                    out_ref, win, sem):
+def _sel_fwd_kernel(n_cols, c_run, wstart_ref, anchors_ref, center_ref,
+                    src_ref, out_ref, win, sem):
+    """Select + accumulate over the fused projection table.
+
+    src_ref is the single (cap, (n_cols+1)*c_run) bf16 projection P = T3 @
+    [W_center | W_col1 | ... | W_col8]: ONE full-efficiency GEMM outside
+    the kernel instead of 9 (T3 is read once, and the separate f32 acc0
+    round-trip disappears). Column c's window is the lane-block slice
+    [ws : ws+wn, (c+1)*c_run : (c+2)*c_run] — lane offsets are multiples
+    of c_run (itself a multiple of the 128 lane tile), so HBM slices stay
+    aligned. center_ref is the same array's block-0 lane slice delivered
+    through the grid pipeline (no manual DMA needed: its rows are exactly
+    the output tile's rows).
+    """
     t = pl.program_id(0)
     b = out_ref.shape[0]
     wn = win.shape[1]
@@ -85,10 +97,12 @@ def _sel_fwd_kernel(n_cols, wstart_ref, anchors_ref, acc0_ref, src_ref,
         ws = pl.multiple_of(wstart_ref[t * n_cols + c], 8)
         starts.append(ws)
         dma = pltpu.make_async_copy(
-            src_ref.at[c, pl.ds(ws, wn), :], win.at[c], sem.at[c])
+            src_ref.at[pl.ds(ws, wn),
+                       pl.ds((c + 1) * c_run, c_run)],
+            win.at[c], sem.at[c])
         dma.start()
         dmas.append(dma)
-    acc = acc0_ref[:].astype(jnp.float32)
+    acc = center_ref[:].astype(jnp.float32)
     for c in range(n_cols):
         dmas[c].wait()
         rel = anchors_ref[c, :] - starts[c]
@@ -123,8 +137,9 @@ def _gsel_kernel(n_cols, wstart_ref, inv_anchors_ref, src_ref, out_ref,
         ).astype(out_ref.dtype)
 
 
-def _run_sel_fwd(wstart, anchors, acc0, src, tile, winw, interpret):
-    n_cols, cap, c_out = src.shape
+def _run_sel_fwd(wstart, anchors, pall, n_cols, tile, winw, interpret):
+    cap = pall.shape[0]
+    c_run = pall.shape[1] // (n_cols + 1)
     n_tiles = cap // tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -132,24 +147,26 @@ def _run_sel_fwd(wstart, anchors, acc0, src, tile, winw, interpret):
         in_specs=[
             pl.BlockSpec((n_cols, tile), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, c_out), lambda t, *_: (t, 0),
+            # center lane-block of pall, pipelined (same array rides again
+            # below as ANY for the manual per-column window DMAs)
+            pl.BlockSpec((tile, c_run), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((tile, c_out), lambda t, *_: (t, 0),
+        out_specs=pl.BlockSpec((tile, c_run), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_cols, winw, c_out), jnp.bfloat16),
+            pltpu.VMEM((n_cols, winw, c_run), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((n_cols,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_sel_fwd_kernel, n_cols),
-        out_shape=jax.ShapeDtypeStruct((cap, c_out), jnp.float32),
+        functools.partial(_sel_fwd_kernel, n_cols, c_run),
+        out_shape=jax.ShapeDtypeStruct((cap, c_run), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(wstart, anchors, acc0, src)
+    )(wstart, anchors, pall, pall)
 
 
 def _run_gsel(inv_wstart, inv_anchors, g, tile, winw, interpret):
@@ -198,9 +215,9 @@ def _tpu_kernels_ok() -> bool:
             cap, tile, winw, c_out, n_cols = 1024, 256, 512, 128, 2
             wstart = jnp.zeros((cap // tile * n_cols,), jnp.int32)
             anchors = jnp.tile(jnp.arange(cap, dtype=jnp.int32), (n_cols, 1))
-            acc0 = jnp.zeros((cap, c_out), jnp.float32)
-            src = jnp.ones((n_cols, cap, c_out), jnp.bfloat16)
-            out = _run_sel_fwd(wstart, anchors, acc0, src, tile, winw, False)
+            pall = jnp.ones((cap, (n_cols + 1) * c_out), jnp.bfloat16)
+            out = _run_sel_fwd(wstart, anchors, pall, n_cols, tile, winw,
+                               False)
             g = jnp.ones((cap, c_out), jnp.bfloat16)
             out2 = _run_gsel(wstart, anchors, g, tile, winw, False)
             # force real execution (block_until_ready alone can return
@@ -246,16 +263,14 @@ def _oh_fwd_impl(x, w, mp, mn, mc, anchors, wstart, ov_in, ov_out, ov_off,
     c_out = w.shape[2]
     t3 = _t3(x, mp, mn, mc)
     wstk = _wstack(w, meta.cols)  # (G, 3C, c_out) f32
-    # center column: T3 rows are exactly the outputs' triples — no selection
-    acc0 = jnp.dot(t3[:-1], wstk[0], preferred_element_type=jnp.float32)
+    # ONE fused projection GEMM for all 9 columns (center block first):
+    # T3 is read once and the separate f32 center round-trip disappears.
     t3b = t3[:-1].astype(jnp.bfloat16)
-    src = jnp.stack([
-        jnp.dot(t3b, wstk[k].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-        for k in range(1, wstk.shape[0])
-    ])
-    acc = _run_sel_fwd(wstart, anchors, acc0, src, meta.tile, meta.win,
-                       meta.interpret)
+    wall = jnp.concatenate(list(wstk), axis=1).astype(jnp.bfloat16)
+    pall = jnp.dot(t3b, wall,
+                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    acc = _run_sel_fwd(wstart, anchors, pall, wstk.shape[0] - 1, meta.tile,
+                       meta.win, meta.interpret)
     acc = acc + _ov_fwd(x, mp, mn, mc, wstk, ov_in, ov_out, ov_off, cap,
                         c_out, meta.ov_seg)
     return acc * mc[:, None]

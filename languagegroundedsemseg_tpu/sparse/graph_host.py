@@ -641,6 +641,7 @@ def _try_masked_shift_map(
     mirror_perm=None,
     companion=None,
     sent: Optional[dict] = None,
+    validate: bool = True,
 ) -> "Optional[MaskedShiftMap]":
     """Fuse a flat stride-1 k3 map into a MaskedShiftMap (ops/msconv.py),
     or None when the map's shape doesn't fit (non-3-z-columns, asymmetric
@@ -664,16 +665,21 @@ def _try_masked_shift_map(
 
     kAc, kBc, kCc = center_col
     rows = np.arange(cap, dtype=np.int64)
-    # center dz=0 must be the identity over real rows (in == out sets)
+    # center dz=0 must be the identity over real rows (in == out sets).
+    # The np.any scans below (here and per column) are INVARIANT CHECKS
+    # that hold by construction for maps our own builders emit — the
+    # production loader skips them (validate=False, ~60 full-cap passes
+    # per map saved); direct build_graph callers and tests keep them.
     vB = idx[kBc] >= 0
-    if np.any(idx[kBc][vB] != rows[vB]):
-        return None
-    if sent is not None and np.any(vB != (sent["valid"] > 0)):
-        return None
-    # masks from the center column's z-neighbors; assert physical adjacency
+    if validate:
+        if np.any(idx[kBc][vB] != rows[vB]):
+            return None
+        if sent is not None and np.any(vB != (sent["valid"] > 0)):
+            return None
     a = idx[kAc].astype(np.int64)
     c = idx[kCc].astype(np.int64)
-    if np.any((a >= 0) & (a != rows - 1)) or np.any((c >= 0) & (c != rows + 1)):
+    if validate and (np.any((a >= 0) & (a != rows - 1))
+                     or np.any((c >= 0) & (c != rows + 1))):
         return None
     mp = (a >= 0).astype(np.float32)
     mn = (c >= 0).astype(np.float32)
@@ -690,14 +696,15 @@ def _try_masked_shift_map(
     for gi, (kA, kB, kC) in enumerate(cols):
         b = idx[kB].astype(np.int64)
         av, bv, cv = idx[kA] >= 0, b >= 0, idx[kC] >= 0
-        # anchored triples read physical neighbors; contiguity assert
-        if np.any(av & bv & (idx[kA] != b - 1)) or np.any(cv & bv & (idx[kC] != b + 1)):
-            return None
-        # the masks must not zero a true co-valid neighbor at the anchor
-        if np.any(av & bv & (mp[np.where(bv, b, 0)] == 0)):
-            return None
-        if np.any(cv & bv & (mn[np.where(bv, b, 0)] == 0)):
-            return None
+        if validate:
+            # anchored triples read physical neighbors; contiguity assert
+            if np.any(av & bv & (idx[kA] != b - 1)) or np.any(cv & bv & (idx[kC] != b + 1)):
+                return None
+            # the masks must not zero a true co-valid neighbor at the anchor
+            if np.any(av & bv & (mp[np.where(bv, b, 0)] == 0)):
+                return None
+            if np.any(cv & bv & (mn[np.where(bv, b, 0)] == 0)):
+                return None
         # gap outputs anchor the boundary sentinel: a+1 (bottom/combined)
         # or c-1 (top-only); verify the sentinel masks serve exactly them
         gapL = av & ~bv
@@ -707,23 +714,25 @@ def _try_masked_shift_map(
         anc = np.where(bv, b, cap)
         if gapL.any():
             s_ = idx[kA][gapL].astype(np.int64) + 1
-            if np.any(~is_sent[s_]) or np.any(mp[s_] == 0):
-                return None
-            # combined demands also need the right third live at the sentinel
-            comb = gapL & cv
-            if comb.any():
-                sc = idx[kA][comb].astype(np.int64) + 1
-                if np.any(mn[sc] == 0) or np.any(idx[kC][comb] != sc + 1):
+            if validate:
+                if np.any(~is_sent[s_]) or np.any(mp[s_] == 0):
                     return None
-            only = gapL & ~cv
-            if only.any():
-                so = idx[kA][only].astype(np.int64) + 1
-                if np.any(mn[so] != 0):
-                    return None
+                # combined demands also need the right third live there
+                comb = gapL & cv
+                if comb.any():
+                    sc = idx[kA][comb].astype(np.int64) + 1
+                    if np.any(mn[sc] == 0) or np.any(idx[kC][comb] != sc + 1):
+                        return None
+                only = gapL & ~cv
+                if only.any():
+                    so = idx[kA][only].astype(np.int64) + 1
+                    if np.any(mn[so] != 0):
+                        return None
             anc = np.where(gapL, idx[kA] + 1, anc)
         if gapR.any():
             s_ = idx[kC][gapR].astype(np.int64) - 1
-            if np.any(~is_sent[s_]) or np.any(mn[s_] == 0) or np.any(mp[s_] != 0):
+            if validate and (np.any(~is_sent[s_]) or np.any(mn[s_] == 0)
+                             or np.any(mp[s_] != 0)):
                 return None
             anc = np.where(gapR, idx[kC] - 1, anc)
         anchors[gi] = anc.astype(np.int32)
@@ -845,6 +854,7 @@ def finalize_graph(
     drop_redundant: bool = True,
     layout_out: Optional[dict] = None,
     flex: bool = False,
+    validate: bool = True,
 ) -> ConvGraph:
     """Shared back half of both graph builders (numpy and native): sentinel
     expansion, fused-map construction, and redundant-flat-map dropping over
@@ -948,6 +958,7 @@ def finalize_graph(
                 n_in=capacities[ms.level_in],
                 mirror_perm=mirror, companion=ms.companion,
                 sent=sent_info[ms.level_in],
+                validate=validate,
             )
             if gm is not None:
                 gmaps[name] = gm
@@ -968,6 +979,7 @@ def build_graph(
     drop_redundant: bool = True,
     layout_out: Optional[dict] = None,
     flex: bool = False,
+    validate: bool = True,
 ) -> ConvGraph:
     """Build the full ConvGraph for one batch.
 
@@ -1006,7 +1018,7 @@ def build_graph(
     return finalize_graph(
         spec, capacities, kept_coords, nums, maps_idx,
         fuse=fuse, fuse_grouped=fuse_grouped, drop_redundant=drop_redundant,
-        layout_out=layout_out, flex=flex,
+        layout_out=layout_out, flex=flex, validate=validate,
     )
 
 def pad_ms_overflow_to(m: "MaskedShiftMap", ov_seg: int, n_ov: int,

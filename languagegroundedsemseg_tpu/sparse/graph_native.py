@@ -83,6 +83,7 @@ def build_graph_native(
     drop_redundant: bool = True,
     layout_out=None,
     flex: bool = False,
+    validate: bool = True,
 ) -> ConvGraph:
     """Native-path equivalent of graph_host.build_graph (same outputs):
     the C++ library builds the pyramid and flat kernel maps; the shared
@@ -92,6 +93,7 @@ def build_graph_native(
         return gh.build_graph(
             coords0, spec, capacities, fuse=fuse, fuse_grouped=fuse_grouped,
             drop_redundant=drop_redundant, layout_out=layout_out, flex=flex,
+            validate=validate,
         )
 
     coords0 = np.ascontiguousarray(coords0, dtype=np.int32)
@@ -125,7 +127,7 @@ def build_graph_native(
     return gh.finalize_graph(
         spec, capacities, kept_coords, [int(n) for n in nums], maps_idx,
         fuse=fuse, fuse_grouped=fuse_grouped, drop_redundant=drop_redundant,
-        layout_out=layout_out, flex=flex,
+        layout_out=layout_out, flex=flex, validate=validate,
     )
 
 

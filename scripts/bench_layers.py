@@ -90,10 +90,8 @@ def main():
             idx_down = comp.idx if comp is not None and comp.idx.shape[1] > 1 else None
             return sparse_conv_parent(x, w, gm, b, idx_down=idx_down), "parent"
         if isinstance(gm, MaskedShiftMap):
-            wide = 3 * x.shape[1] * 4 > 1024
-            paths = ([(onehot_window_conv, "onehot"), (masked_shift_conv, "mshift")]
-                     if wide else
-                     [(masked_shift_conv, "mshift"), (onehot_window_conv, "onehot")])
+            paths = [(onehot_window_conv, "onehot"),
+                     (masked_shift_conv, "mshift")]
             for fn, nm in paths:
                 out = fn(x, w, gm, b)
                 if out is not None:

@@ -72,13 +72,20 @@ def main():
         functools.partial(model.init, train=False),
         jax.random.PRNGKey(0), batch.feats, batch.graph,
     )
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    vals = [
-        jnp.asarray(0.05 * rng.standard_normal(l.shape), dtype=l.dtype)
-        if jnp.issubdtype(l.dtype, jnp.floating)
-        else jnp.zeros(l.shape, l.dtype)
-        for l in leaves
-    ]
+    flat = jax.tree_util.tree_flatten_with_path(shapes)[0]
+    treedef = jax.tree_util.tree_structure(shapes)
+    vals = []
+    for path, l in flat:
+        name = str(path[-1])
+        if not jnp.issubdtype(l.dtype, jnp.floating):
+            vals.append(jnp.zeros(l.shape, l.dtype))
+        elif "var" in name or "scale" in name:
+            # positive: rsqrt(var) and BN scale — keeps logits finite
+            vals.append(jnp.ones(l.shape, l.dtype))
+        else:
+            vals.append(
+                jnp.asarray(0.05 * rng.standard_normal(l.shape), dtype=l.dtype)
+            )
     variables = jax.tree_util.tree_unflatten(treedef, vals)
 
     @jax.jit
@@ -131,18 +138,24 @@ def main():
         # identical to the compiled step's — no mid-loop recompiles.
         for _ in range(n):
             q.put(jax.device_put(builder.build(scenes)))
-        q.put(None)
 
-    e2e_steps = 3
+    # Two producer threads, as the real loader's num_workers: the numpy
+    # build of one batch overlaps the H2D transfer of the other (device_put
+    # releases the GIL during the tunnel I/O).
+    e2e_steps = 4
+    n_workers = 2
     q: "queue.Queue" = queue.Queue(maxsize=2)
-    th = threading.Thread(target=producer, args=(q, e2e_steps), daemon=True)
+    ths = [
+        threading.Thread(target=producer, args=(q, e2e_steps // n_workers),
+                         daemon=True)
+        for _ in range(n_workers)
+    ]
     t0 = time.perf_counter()
-    th.start()
+    for th in ths:
+        th.start()
     n_scenes = 0
-    while True:
+    for _ in range(e2e_steps):
         b = q.get()
-        if b is None:
-            break
         state, metrics = step(state, b, key)
         _sync(metrics["loss"])
         n_scenes += 4

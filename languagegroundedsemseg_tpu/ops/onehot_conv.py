@@ -74,8 +74,8 @@ def _vmem_estimate(n_cols: int, tile: int, win: int, c_out: int) -> int:
     )
 
 
-def _sel_fwd_kernel(n_cols, c_run, wstart_ref, anchors_ref, center_ref,
-                    src_ref, out_ref, win, sem):
+def _sel_fwd_kernel(n_cols, c_run, wstart_ref, anchors_ref, mc_ref,
+                    center_ref, src_ref, out_ref, win, sem):
     """Select + accumulate over the fused projection table.
 
     src_ref is the single (cap, (n_cols+1)*c_run) bf16 projection P = T3 @
@@ -110,34 +110,63 @@ def _sel_fwd_kernel(n_cols, c_run, wstart_ref, anchors_ref, center_ref,
             lax.broadcasted_iota(jnp.int32, (b, wn), 1) == rel[:, None]
         ).astype(jnp.bfloat16)
         acc = acc + jnp.dot(sel, win[c], preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+    # fold the real-row mask into the epilogue: kills the center block's
+    # garbage at sentinel rows and saves a separate full-size multiply
+    # pass after the kernel (ov entries only ever target mc=1 rows)
+    out_ref[:] = acc * mc_ref[0, :][:, None]
 
 
-def _gsel_kernel(n_cols, wstart_ref, inv_anchors_ref, src_ref, out_ref,
-                 win, sem):
+def _dw_kernel(n_cols, wstart_ref, inv_anchors_ref, t3_ref, g_ref, out_ref,
+               win, sem):
+    """Fully fused dW: out[c] = sum_tiles T3_tile^T @ (onehot(inv) @ g_win).
+
+    The output block (n_cols, 3C, c_run) stays resident in VMEM and
+    accumulates across the whole grid (constant index_map), so the old
+    intermediate — a (n_cols, cap, c_run) selected-gradient tensor written
+    to and re-read from HBM (1.2 GB at L0 bench shapes) plus 8 follow-up
+    XLA GEMMs re-reading T3 — disappears; T3 streams through once as
+    pipelined tile blocks and g through the per-column windows.
+    """
     t = pl.program_id(0)
-    b = out_ref.shape[1]
+    b = t3_ref.shape[0]
     wn = win.shape[1]
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
     dmas, starts = [], []
     for c in range(n_cols):
         ws = pl.multiple_of(wstart_ref[t * n_cols + c], 8)
         starts.append(ws)
         dma = pltpu.make_async_copy(
-            src_ref.at[pl.ds(ws, wn), :], win.at[c], sem.at[c])
+            g_ref.at[pl.ds(ws, wn), :], win.at[c], sem.at[c])
         dma.start()
         dmas.append(dma)
+    t3b = t3_ref[:]
+    gsels = []
     for c in range(n_cols):
         dmas[c].wait()
         rel = inv_anchors_ref[c, :] - starts[c]
+        # rows with no inverse pair (guard) miss the window -> zero row
         sel = (
             lax.broadcasted_iota(jnp.int32, (b, wn), 1) == rel[:, None]
         ).astype(jnp.bfloat16)
-        out_ref[c] = jnp.dot(
-            sel, win[c], preferred_element_type=jnp.float32
-        ).astype(out_ref.dtype)
+        gsels.append(jnp.dot(
+            sel, win[c],
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+    # one wide contraction per tile instead of n_cols narrow ones
+    gall = jnp.concatenate(gsels, axis=1)  # (b, n_cols * c_run)
+    part = lax.dot_general(
+        t3b, gall, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (cw, n_cols * c_run)
+    cw = t3_ref.shape[1]
+    c_run = win.shape[2]
+    for c in range(n_cols):
+        out_ref[c] += part[:, c * c_run:(c + 1) * c_run]
 
 
-def _run_sel_fwd(wstart, anchors, pall, n_cols, tile, winw, interpret):
+def _run_sel_fwd(wstart, anchors, mc, pall, n_cols, tile, winw, interpret):
     cap = pall.shape[0]
     c_run = pall.shape[1] // (n_cols + 1)
     n_tiles = cap // tile
@@ -146,6 +175,8 @@ def _run_sel_fwd(wstart, anchors, pall, n_cols, tile, winw, interpret):
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((n_cols, tile), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),
             # center lane-block of pall, pipelined (same array rides again
             # below as ANY for the manual per-column window DMAs)
@@ -166,12 +197,16 @@ def _run_sel_fwd(wstart, anchors, pall, n_cols, tile, winw, interpret):
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(wstart, anchors, pall, pall)
+    # Mosaic can't cast uint8 in-kernel — cast the tiny mask outside
+    )(wstart, anchors, mc.reshape(1, cap).astype(jnp.float32), pall, pall)
 
 
-def _run_gsel(inv_wstart, inv_anchors, g, tile, winw, interpret):
+def _run_dw_fused(inv_wstart, inv_anchors, t3b, g, tile, winw, interpret):
+    """dW partials per column: (n_cols, 3C, c_run) f32 = sum over output
+    tiles of T3^T @ g[inv]. t3b: (cap, 3C) bf16; g: (cap, c_run) bf16."""
     n_cols = inv_anchors.shape[0]
-    cap, c_out = g.shape
+    cap, cw = t3b.shape
+    c_out = g.shape[1]
     n_tiles = cap // tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -179,9 +214,13 @@ def _run_gsel(inv_wstart, inv_anchors, g, tile, winw, interpret):
         in_specs=[
             pl.BlockSpec((n_cols, tile), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, cw), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((n_cols, tile, c_out), lambda t, *_: (0, t, 0),
+        # constant index_map: the dW accumulator stays resident in VMEM
+        # across all grid steps (standard reduction pattern)
+        out_specs=pl.BlockSpec((n_cols, cw, c_out), lambda t, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((n_cols, winw, c_out), jnp.bfloat16),
@@ -189,12 +228,12 @@ def _run_gsel(inv_wstart, inv_anchors, g, tile, winw, interpret):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_gsel_kernel, n_cols),
-        out_shape=jax.ShapeDtypeStruct((n_cols, cap, c_out), jnp.bfloat16),
+        functools.partial(_dw_kernel, n_cols),
+        out_shape=jax.ShapeDtypeStruct((n_cols, cw, c_out), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(inv_wstart, inv_anchors, g)
+    )(inv_wstart, inv_anchors, t3b, g)
 
 
 _TPU_PROBE: dict = {}
@@ -216,10 +255,12 @@ def _tpu_kernels_ok() -> bool:
             wstart = jnp.zeros((cap // tile * n_cols,), jnp.int32)
             anchors = jnp.tile(jnp.arange(cap, dtype=jnp.int32), (n_cols, 1))
             pall = jnp.ones((cap, (n_cols + 1) * c_out), jnp.bfloat16)
-            out = _run_sel_fwd(wstart, anchors, pall, n_cols, tile, winw,
-                               False)
+            mcp = jnp.ones((cap,), jnp.uint8)
+            out = _run_sel_fwd(wstart, anchors, mcp, pall, n_cols, tile,
+                               winw, False)
             g = jnp.ones((cap, c_out), jnp.bfloat16)
-            out2 = _run_gsel(wstart, anchors, g, tile, winw, False)
+            t3b = jnp.ones((cap, 96), jnp.bfloat16)  # unaligned 3C on purpose
+            out2 = _run_dw_fused(wstart, anchors, t3b, g, tile, winw, False)
             # force real execution (block_until_ready alone can return
             # early under the axon relay)
             return bool(
@@ -238,8 +279,20 @@ def _tpu_kernels_ok() -> bool:
 
             with _cf.ThreadPoolExecutor(max_workers=1) as _ex:
                 _TPU_PROBE["ok"] = _ex.submit(_probe).result(timeout=600)
-        except Exception:  # noqa: BLE001 — any failure means "don't route here"
+        except Exception as e:  # noqa: BLE001 — any failure: don't route here
             _TPU_PROBE["ok"] = False
+            _TPU_PROBE["error"] = repr(e)
+        if not _TPU_PROBE["ok"]:
+            import warnings
+
+            # Loud: a silent probe failure degrades every conv to the
+            # gather paths (~2x slower end to end).
+            warnings.warn(
+                "selector-kernel TPU probe failed — falling back to gather "
+                f"conv paths: {_TPU_PROBE.get('error', 'non-finite output')}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return _TPU_PROBE["ok"]
 
 
@@ -269,19 +322,19 @@ def _oh_fwd_impl(x, w, mp, mn, mc, anchors, wstart, ov_in, ov_out, ov_off,
     wall = jnp.concatenate(list(wstk), axis=1).astype(jnp.bfloat16)
     pall = jnp.dot(t3b, wall,
                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    acc = _run_sel_fwd(wstart, anchors, pall, wstk.shape[0] - 1, meta.tile,
-                       meta.win, meta.interpret)
-    acc = acc + _ov_fwd(x, mp, mn, mc, wstk, ov_in, ov_out, ov_off, cap,
-                        c_out, meta.ov_seg)
-    return acc * mc[:, None]
+    acc = _run_sel_fwd(wstart, anchors, mc, pall, wstk.shape[0] - 1,
+                       meta.tile, meta.win, meta.interpret)
+    # ov entries only target mc=1 rows (sentinel outputs carry guard
+    # anchors by construction), so no mask is needed after the kernel's
+    # fused epilogue multiply.
+    return acc + _ov_fwd(x, mp, mn, mc, wstk, ov_in, ov_out, ov_off, cap,
+                         c_out, meta.ov_seg)
 
 
 def _oh_dw_impl(x, g32, mp, mn, mc, inv_anchors, inv_wstart,
                 dwov_in, dwov_out, dwov_off, meta: OHMeta, k_num):
     c = x.shape[1]
     t3 = _t3(x, mp, mn, mc)
-    gsel = _run_gsel(inv_wstart, inv_anchors, g32.astype(jnp.bfloat16),
-                     meta.tile, meta.win, meta.interpret)
     dw = [None] * k_num
 
     def put(col, dwg):
@@ -294,10 +347,11 @@ def _oh_dw_impl(x, g32, mp, mn, mc, inv_anchors, inv_wstart,
         t3v, g32, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32))
     t3b = t3v.astype(jnp.bfloat16)
+    dwcols = _run_dw_fused(inv_wstart, inv_anchors, t3b,
+                           g32.astype(jnp.bfloat16), meta.tile, meta.win,
+                           meta.interpret)
     for gi, col in enumerate(meta.cols[1:]):
-        put(col, lax.dot_general(
-            t3b, gsel[gi], dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
+        put(col, dwcols[gi])
     for gi, dcol in _ov_dw_pieces(x, mp, mn, mc, g32, dwov_in, dwov_out,
                                   dwov_off, len(meta.cols) - 1,
                                   meta.dwov_seg):

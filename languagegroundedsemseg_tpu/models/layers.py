@@ -17,13 +17,20 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from languagegroundedsemseg_tpu.ops.msconv import masked_shift_conv
-from languagegroundedsemseg_tpu.ops.onehot_conv import onehot_window_conv
+from languagegroundedsemseg_tpu.ops.onehot_conv import (
+    onehot_window_conv,
+    slot_window_conv,
+)
 from languagegroundedsemseg_tpu.ops.spconv import (
     pointwise_conv,
     sparse_conv,
     sparse_conv_parent,
 )
-from languagegroundedsemseg_tpu.sparse.types import MaskedShiftMap, ParentMap
+from languagegroundedsemseg_tpu.sparse.types import (
+    MaskedShiftMap,
+    ParentMap,
+    SlotWindowMap,
+)
 from languagegroundedsemseg_tpu.ops.segment import batch_broadcast, batch_mean
 from languagegroundedsemseg_tpu.sparse.types import ConvGraph
 
@@ -74,6 +81,12 @@ class SparseConv(nn.Module):
             cpm = graph.gmaps.get(km.companion)
             if isinstance(cpm, ParentMap):
                 companion_parent = (cpm.parent, cpm.kslot)
+        if isinstance(gm, SlotWindowMap):
+            # strided (down) convs through the selector kernel; the flat
+            # gather path below stays as the CPU / no-window fallback
+            out = slot_window_conv(xd, wd, gm, bd)
+            if out is not None:
+                return out
         if isinstance(gm, ParentMap):
             # gather-only backward via the companion down map's flat table
             comp = graph.maps.get(gm.companion) if gm.companion else None

@@ -166,8 +166,13 @@ def _dw_kernel(n_cols, wstart_ref, inv_anchors_ref, t3_ref, g_ref, out_ref,
         out_ref[c] += part[:, c * c_run:(c + 1) * c_run]
 
 
-def _run_sel_fwd(wstart, anchors, mc, pall, n_cols, tile, winw, interpret):
-    cap = pall.shape[0]
+def _run_sel_fwd(wstart, anchors, mc, pall, n_cols, tile, winw, interpret,
+                 out_rows=None):
+    # out_rows: output tiling length; defaults to pall's row count (the k3
+    # same-level case). Strided (down) convs select from a LONGER input
+    # projection: anchors/mc/out are (out_rows,)-sized, windows and the
+    # (zero) center block still index pall's rows.
+    cap = pall.shape[0] if out_rows is None else out_rows
     c_run = pall.shape[1] // (n_cols + 1)
     n_tiles = cap // tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -448,4 +453,130 @@ def onehot_window_conv(x, w, msmap, bias=None, interpret=None):
         out = out[:, :c_out]
     if bias is not None:
         out = out + bias * msmap.mc[:, None]
+    return out
+
+
+# ---- slot-window conv: strided (down) convs through the selector kernel ---
+
+
+class SWMeta(NamedTuple):
+    n_slots: int
+    ov_seg: int
+    tile: int
+    win: int
+    interpret: bool
+
+
+def _ov_fwd_plain(x, w, ov_in, ov_out, ov_off, n_out, ov_seg):
+    """Out-of-window COO for slot-window convs: out[o] += x[i] @ w[slot],
+    column(slot)-major segments, guard in = cap_in / out = n_out."""
+    if ov_in.shape[0] == 0:
+        return 0.0
+    cap_in = x.shape[0]
+    valid = (ov_in < cap_in).astype(x.dtype)[:, None]
+    g = jnp.take(x, jnp.where(ov_in < cap_in, ov_in, 0), axis=0) * valid
+    contrib = jnp.zeros((g.shape[0], w.shape[2]), jnp.float32)
+    for k in range(w.shape[0]):
+        off = ov_off[k]
+        seg = lax.dynamic_slice(g, (off, 0), (ov_seg, g.shape[1]))
+        res = jnp.dot(seg, w[k], preferred_element_type=jnp.float32)
+        contrib = lax.dynamic_update_slice(contrib, res, (off, 0))
+    return jax.ops.segment_sum(
+        contrib, ov_out, num_segments=n_out + 1, indices_are_sorted=False
+    )[:-1]
+
+
+def _sw_fwd_impl(x, w, anchors, wstart, ov_in, ov_out, ov_off, meta: SWMeta):
+    cap_out = anchors.shape[1]
+    c_run = w.shape[2]
+    xb = x.astype(jnp.bfloat16)
+    # leading ZERO block plays the k3 path's center role (strided convs
+    # have no identity column); one GEMM projects all K slots
+    wall = jnp.concatenate(
+        [jnp.zeros((x.shape[1], c_run), jnp.bfloat16)]
+        + [w[k].astype(jnp.bfloat16) for k in range(meta.n_slots)], axis=1)
+    pall = jnp.dot(xb, wall,
+                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    ones = jnp.ones((cap_out,), jnp.uint8)
+    acc = _run_sel_fwd(wstart, anchors, ones, pall, meta.n_slots, meta.tile,
+                       meta.win, meta.interpret, out_rows=cap_out)
+    return acc + _ov_fwd_plain(x, w, ov_in, ov_out, ov_off, cap_out,
+                               meta.ov_seg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _sw_core(x, w, anchors, wstart, parent, kslot, ov_in, ov_out, ov_off,
+             meta):
+    return _sw_fwd_impl(x, w, anchors, wstart, ov_in, ov_out, ov_off,
+                        meta).astype(x.dtype)
+
+
+def _sw_fwd(x, w, anchors, wstart, parent, kslot, ov_in, ov_out, ov_off,
+            meta):
+    out = _sw_fwd_impl(x, w, anchors, wstart, ov_in, ov_out, ov_off,
+                       meta).astype(x.dtype)
+    return out, (x, w, parent, kslot)
+
+
+def _sw_bwd(meta: SWMeta, res, g_out):
+    """Gather-only backward via the down map's input PARTITION: every input
+    row belongs to exactly one (parent output, slot) pair, so dX is a
+    ParentMap conv with transposed weights and dW is K masked contractions
+    against g[parent] — no windows, no scatters, exact over all pairs
+    (including the forward's out-of-window COO entries)."""
+    from languagegroundedsemseg_tpu.ops.spconv import _parent_fwd_impl
+
+    x, w, parent, kslot = res
+    g32 = g_out.astype(jnp.float32)
+    wt = jnp.swapaxes(w.astype(jnp.float32), 1, 2)  # (K, c_run, C)
+    dx = _parent_fwd_impl(g32, wt, parent, kslot)
+    n_out = g32.shape[0]
+    gp = jnp.take(g32, jnp.clip(parent, 0, n_out - 1), axis=0)
+    x32 = x.astype(jnp.float32)
+    dws = []
+    for k in range(meta.n_slots):
+        gk = jnp.where((kslot == k)[:, None], gp, 0.0)
+        dws.append(lax.dot_general(
+            x32, gk, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    dw = jnp.stack(dws)
+    return (dx.astype(x.dtype), dw.astype(w.dtype)) + (None,) * 7
+
+
+_sw_core.defvjp(_sw_fwd, _sw_bwd)
+
+
+def slot_window_conv(x, w, swmap, bias=None, interpret=None):
+    """Apply a strided (down) conv through a window-annotated SlotWindowMap.
+
+    Returns None when the map has no annotation, shapes do not divide, or
+    the VMEM footprint is out of budget — the caller falls back to the
+    flat gather path (which also serves CPU/tests)."""
+    tile, winw = int(getattr(swmap, "tile", 0)), int(getattr(swmap, "win", 0))
+    if tile <= 0 or swmap.wstart.size == 0:
+        return None
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            return None
+        if not _tpu_kernels_ok():
+            return None
+        interpret = False
+    cap_out = swmap.anchors.shape[1]
+    c_out = w.shape[2]
+    n_cols = swmap.num_slots
+    if cap_out % tile or x.shape[0] < winw:
+        return None
+    c_pad = (-c_out) % 128
+    c_run = c_out + c_pad
+    if _vmem_estimate(n_cols, tile, winw, c_run) > VMEM_BUDGET:
+        return None
+    meta = SWMeta(n_cols, int(swmap.ov_seg), tile, winw, interpret)
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad))) if c_pad else w
+    out = _sw_core(x, wp, swmap.anchors, swmap.wstart, swmap.parent,
+                   swmap.kslot, swmap.ov_in, swmap.ov_out, swmap.ov_off,
+                   meta)
+    if c_pad:
+        out = out[:, :c_out]
+    if bias is not None:
+        out = out + bias
     return out

@@ -26,6 +26,7 @@ from languagegroundedsemseg_tpu.sparse.types import (
     KernelMap,
     MaskedShiftMap,
     ParentMap,
+    SlotWindowMap,
     SparseLevel,
 )
 
@@ -568,42 +569,57 @@ _WINDOW_MENU = (
 )
 
 
-def _percol_windows(anchors, cap, tile, win):
+def _percol_windows(anchors, cap, tile, win, cap_in=None, center="median"):
     """Median-centered per-(tile, column) window starts.
 
-    Returns (wstart (n_cols, n_tiles) int32, bad (n_cols, cap) bool): bad
-    marks non-guard anchors outside their tile's window. Starts are 8-row
-    aligned and clamped to [0, cap - win], so windows never leave the
-    array and the guard value ``cap`` can never land inside one.
+    Returns (wstart (n_cols, n_tiles) int32, bad (n_cols, n_rows) bool):
+    bad marks non-guard anchors outside their tile's window. Starts are
+    8-row aligned and clamped to [0, cap_in - win], so windows never leave
+    the anchored array and the guard value ``cap_in`` can never land
+    inside one. ``cap_in`` is the anchored (input) array's row count —
+    defaults to ``cap`` (= the output tiling length, the k3 same-level
+    case); strided down maps anchor a different level's rows.
     """
+    if cap_in is None:
+        cap_in = cap
     n_cols = anchors.shape[0]
     n_tiles = cap // tile
     av = anchors.reshape(n_cols, n_tiles, tile)
-    # lower median via integer sort: guard anchors (= cap) sort to the end,
-    # so the median of valid entries sits at index (count-1)//2. (An order
-    # of magnitude faster than nanmedian's masked-array path — this runs
-    # per menu trial per map per batch.)
-    srt = np.sort(av, axis=2)
-    cnt = (srt < cap).sum(axis=2)
-    mid = np.maximum(cnt - 1, 0) // 2
-    med = np.take_along_axis(srt, mid[:, :, None], axis=2)[:, :, 0].astype(np.int64)
-    # all-guard tiles get the identity-diagonal default
-    med = np.where(cnt > 0, med, np.arange(n_tiles, dtype=np.int64)[None, :] * tile)
-    w0 = (np.clip(med - win // 2, 0, cap - win)) & ~7
-    bad = (av < cap) & ((av < w0[:, :, None]) | (av >= w0[:, :, None] + win))
+    if center == "midrange":
+        # midrange of valid anchors: spreads are wide and skewed for
+        # strided maps, where the median wastes half the window
+        valid = av < cap_in
+        lo = np.where(valid, av, np.int64(1) << 40).min(axis=2)
+        hi = np.where(valid, av, -1).max(axis=2)
+        med = np.where(hi >= 0, (lo.astype(np.int64) + hi) // 2, -1)
+        cnt = (hi >= 0).astype(np.int64)
+    else:
+        # lower median via integer sort: guard anchors (= cap_in) sort to
+        # the end, so the median of valid entries sits at index
+        # (count-1)//2. (An order of magnitude faster than nanmedian's
+        # masked-array path — this runs per menu trial per map per batch.)
+        srt = np.sort(av, axis=2)
+        cnt = (srt < cap_in).sum(axis=2)
+        mid = np.maximum(cnt - 1, 0) // 2
+        med = np.take_along_axis(srt, mid[:, :, None], axis=2)[:, :, 0].astype(np.int64)
+    # all-guard tiles get a proportional default position
+    default = np.arange(n_tiles, dtype=np.int64) * tile * max(cap_in // cap, 1)
+    med = np.where(cnt > 0, med, default[None, :])
+    w0 = (np.clip(med - win // 2, 0, cap_in - win)) & ~7
+    bad = (av < cap_in) & ((av < w0[:, :, None]) | (av >= w0[:, :, None] + win))
     return w0.astype(np.int32), bad.reshape(n_cols, cap)
 
 
-def _route_bad(anchors, bad):
+def _route_bad(anchors, bad, guard=None):
     """Guard out-of-window anchors; return their (col, out_row, anchor)
     COO entries."""
     gis, outs = np.nonzero(bad)
     entries = [(int(g), int(o), int(anchors[g, o])) for g, o in zip(gis, outs)]
-    anchors[bad] = anchors.shape[1]
+    anchors[bad] = anchors.shape[1] if guard is None else guard
     return entries
 
 
-def _pack_ov(ov_entries, n_cols, ov_cap, cap):
+def _pack_ov(ov_entries, n_cols, ov_cap, cap, guard_in=None, guard_out=None):
     """Column-major padded COO arrays (see MaskedShiftMap.ov_*).
 
     Static bounds are TIGHT power-of-2 buckets of the actual counts, not
@@ -627,8 +643,12 @@ def _pack_ov(ov_entries, n_cols, ov_cap, cap):
     n_real = len(ov_out)
     arr = max(1024, 1 << int(np.ceil(np.log2(n_real + ov_seg))))
     pad = arr - n_real
-    ov_out = np.concatenate([ov_out, np.full(pad, cap)]).astype(np.int32)
-    ov_in = np.concatenate([ov_in, np.full(pad, cap)]).astype(np.int32)
+    ov_out = np.concatenate(
+        [ov_out, np.full(pad, cap if guard_out is None else guard_out)]
+    ).astype(np.int32)
+    ov_in = np.concatenate(
+        [ov_in, np.full(pad, cap if guard_in is None else guard_in)]
+    ).astype(np.int32)
     return ov_in, ov_out, ov_off, int(ov_seg)
 
 
@@ -825,6 +845,65 @@ def _try_parent_map(idx: np.ndarray) -> Optional[ParentMap]:
     parent = np.maximum(parent, 0).astype(np.int32)
     return ParentMap(parent=parent, kslot=kslot, num_slots=k)
 
+def _try_slot_window_map(idx: np.ndarray, cap_in: int,
+                         companion=None) -> "Optional[SlotWindowMap]":
+    """Window-annotate a strided (down) conv map for the selector kernel
+    (ops/onehot_conv.py:slot_window_conv).
+
+    Each kernel slot is one selection column over the INPUT level's rows;
+    sorted keys keep the children of consecutive outputs local, so the
+    same median-centered window machinery applies with cap_in != cap_out.
+    Also derives the down map's input partition (parent/kslot: every input
+    row contributes to exactly one (output, slot) pair), which makes dX a
+    ParentMap conv and dW a set of masked contractions — gather-only.
+    Returns None when no window config fits (flat path stays)."""
+    k, cap_out = idx.shape
+    # partition property required for the cheap backward: each input row
+    # appears at most once across the whole table
+    v = idx >= 0
+    ins = idx[v]
+    if len(ins) != len(np.unique(ins)):
+        return None
+    anchors = np.where(v, idx, cap_in).astype(np.int32)
+    parent = np.zeros(cap_in, np.int32)
+    kslot = np.full(cap_in, k, np.int32)
+    outs_grid = np.broadcast_to(np.arange(cap_out, dtype=np.int32), idx.shape)
+    slots_grid = np.broadcast_to(
+        np.arange(k, dtype=np.int32)[:, None], idx.shape)
+    parent[ins] = outs_grid[v]
+    kslot[ins] = slots_grid[v]
+
+    ov_cap = max(128, (cap_out // 16 + 127) // 128 * 128)
+    ov_entries: list = []
+    wstart = np.zeros(0, np.int32)
+    tile = win = 0
+    # Cost bounds vs the flat gather path (row-count bound, ~4.4 ns/row
+    # regardless of C): win/tile caps the window-DMA amplification and win
+    # itself caps the selector FLOPs per output row (win * c_run * 2 *
+    # n_slots) — past win ~1024 the kernel loses to the flat gathers, so
+    # wider configs are not worth annotating (the map stays flat).
+    for t_, w_ in ((256, 512), (128, 512), (256, 1024), (512, 1024)):
+        if cap_out % t_ or cap_out < 2 * t_ or cap_in < w_:
+            continue
+        ws, bad = _percol_windows(anchors, cap_out, t_, w_, cap_in=cap_in,
+                                  center="midrange")
+        if bad.sum() <= ov_cap:
+            ov_entries = _route_bad(anchors, bad, guard=cap_in)
+            wstart = ws.T.reshape(-1)
+            tile, win = t_, w_
+            break
+    if tile == 0:
+        return None
+    ov_in, ov_out, ov_off, ov_seg = _pack_ov(
+        ov_entries, k, ov_cap, cap_out, guard_in=cap_in, guard_out=cap_out)
+    return SlotWindowMap(
+        anchors=anchors, wstart=wstart, parent=parent, kslot=kslot,
+        ov_in=ov_in, ov_out=ov_out, ov_off=ov_off,
+        num_slots=k, ov_seg=int(ov_seg), tile=int(tile), win=int(win),
+        in_capacity=int(cap_in), companion=companion,
+    )
+
+
 def _axis_stride(level: int, d: int):
     """Per-axis tensor stride: the temporal axis (d=4) always has stride 1."""
     s = 1 << level
@@ -950,6 +1029,12 @@ def finalize_graph(
                 if pm is not None:
                     gmaps[name] = dataclasses_replace_pm(pm, ms.companion)
                     continue
+            if not ms.kind.transpose and ms.kind.stride > 1 and fuse_grouped:
+                sw = _try_slot_window_map(
+                    idx, capacities[ms.level_in], companion=ms.companion)
+                if sw is not None:
+                    gmaps[name] = sw
+                continue
             if not fuse_grouped or ms.fuse_width < 2 or not stride1_same:
                 continue
             z_step = (1 << ms.level_in) if spec.d == 3 else 1

@@ -178,6 +178,48 @@ class ParentMap:
 
 
 @struct.dataclass
+class SlotWindowMap:
+    """Selector-kernel annotation for strided (down) convs.
+
+    Each of the K kernel slots is its own selection column: anchors[k, o]
+    is the INPUT row that output o gathers for slot k (the flat table
+    itself; guard = cap_in). Sorted keys make the children of consecutive
+    outputs local in the input array, so the one-hot window kernel
+    (ops/onehot_conv.py) serves them through per-(tile, slot) windows over
+    the fused projection P = x @ [0 | W_1 | ... | W_K] (the leading zero
+    block plays the k3 path's center role — strided convs have none).
+
+    The backward needs no window machinery: the down map is a PARTITION of
+    input rows (each input voxel has exactly one (parent output, slot)), so
+    dX is a ParentMap conv with transposed weights and dW is K masked
+    contractions against g[parent] — both gather-only. parent/kslot here
+    are the DOWN direction's partition (input row -> parent output row /
+    slot), distinct from the companion up map's ParentMap.
+
+    ov_*: out-of-window entries, column(slot)-major segments, same device
+    format as MaskedShiftMap.ov_* but gathering plain x rows.
+    """
+
+    anchors: jnp.ndarray
+    wstart: jnp.ndarray
+    parent: jnp.ndarray
+    kslot: jnp.ndarray
+    ov_in: jnp.ndarray
+    ov_out: jnp.ndarray
+    ov_off: jnp.ndarray
+    num_slots: int = struct.field(pytree_node=False)
+    ov_seg: int = struct.field(pytree_node=False, default=0)
+    tile: int = struct.field(pytree_node=False, default=0)
+    win: int = struct.field(pytree_node=False, default=0)
+    in_capacity: int = struct.field(pytree_node=False, default=0)
+    companion: Optional[str] = struct.field(pytree_node=False, default=None)
+
+    @property
+    def out_capacity(self) -> int:
+        return self.anchors.shape[1]
+
+
+@struct.dataclass
 class ConvGraph:
     """The full coordinate pyramid + all kernel maps a model needs.
 

@@ -42,7 +42,9 @@ def test_masked_shift_map_structure():
     m = g.gmaps.get("k3")
     assert isinstance(m, MaskedShiftMap)
     assert isinstance(g.gmaps.get("up1"), ParentMap)
-    assert "down0" not in g.gmaps  # k2s2 down stays flat
+    from languagegroundedsemseg_tpu.sparse.types import SlotWindowMap
+    # k2s2 down now carries a selector-kernel window annotation
+    assert isinstance(g.gmaps.get("down0"), SlotWindowMap)
     # 9 columns, center first; every slot exactly once
     assert len(m.cols) == 9
     covered = sorted(k for ks in m.cols for k in ks)

@@ -131,3 +131,60 @@ def test_small_caps_have_no_windows():
         x = jnp.zeros((128, 8), np.float32)
         w = jnp.zeros((27, 8, 8), np.float32)
         assert onehot_window_conv(x, w, m, interpret=True) is None
+
+
+def test_slot_window_down_conv_matches_flat():
+    """slot_window_conv (interpret kernel) vs the flat gather path on a
+    real stride-2 down map, forward and grads."""
+    from languagegroundedsemseg_tpu.ops.onehot_conv import slot_window_conv
+    from languagegroundedsemseg_tpu.sparse.offsets import ConvKind as CK
+    from languagegroundedsemseg_tpu.sparse.types import SlotWindowMap
+
+    rng = np.random.default_rng(7)
+    coords = make_cloud(rng, n=2600, extent=40)
+    coords = coords[np.argsort(pack_keys(coords), kind="stable")]
+    spec = GraphSpec(
+        num_levels=2,
+        maps={
+            "k3": MapSpec(0, 0, ConvKind(3), fuse_width=3),
+            "down0": MapSpec(0, 1, CK(kernel_size=2, stride=2)),
+        },
+    )
+    g = build_graph(coords, spec, (4096, 2048), drop_redundant=False)
+    sw = g.gmaps.get("down0")
+    assert isinstance(sw, SlotWindowMap) and sw.tile > 0
+    km = g.maps["down0"]
+    cap_in = g.levels[0].capacity
+    cin, cout = 16, 24
+    x = np.zeros((cap_in, cin), np.float32)
+    n0 = int(g.levels[0].num)
+    x[:n0] = rng.normal(size=(n0, cin))
+    # sentinel/pad rows hold zeros, as the batch builder guarantees
+    x *= np.asarray(g.gmaps["k3"].mc)[:, None] if "k3" in g.gmaps else 1.0
+    w = rng.normal(size=(8, cin, cout)).astype(np.float32) * 0.2
+    x = jnp.asarray(x)
+    wj = jnp.asarray(w)
+
+    from languagegroundedsemseg_tpu.ops.spconv import sparse_conv
+
+    ref = sparse_conv(x, wj, km.idx, None, center_slot=km.center_slot)
+    out = slot_window_conv(x, wj, sw, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss_flat(x, w):
+        return (sparse_conv(x, w, km.idx, None,
+                            center_slot=km.center_slot) ** 2).sum()
+
+    def loss_sw(x, w):
+        return (slot_window_conv(x, w, sw, interpret=True) ** 2).sum()
+
+    gx1, gw1 = jax.grad(loss_flat, (0, 1))(x, wj)
+    gx2, gw2 = jax.grad(loss_sw, (0, 1))(x, wj)
+    sx = np.abs(np.asarray(gx1)).max() + 1e-6
+    sw_ = np.abs(np.asarray(gw1)).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(gx2) / sx, np.asarray(gx1) / sx,
+                               atol=3e-2)
+    np.testing.assert_allclose(np.asarray(gw2) / sw_, np.asarray(gw1) / sw_,
+                               atol=3e-2)

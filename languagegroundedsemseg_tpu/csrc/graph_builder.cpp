@@ -160,6 +160,41 @@ int lgs_kernel_map(const int32_t* in_coords, int64_t n_in,
   return 0;
 }
 
+// Composed sentinel remap of one kernel map (the expand_sentinels inner
+// loop, sparse/graph_host.py): one pass instead of numpy's
+// table-gather + concatenate + column-gather (3 full-map passes/copies).
+//   idx_in:  (k, cap_out) int32 flat map; first n_out_old columns valid.
+//   table:   input-row remap (len n_in_old), or NULL for identity;
+//            entries < 0 in the map stay -1.
+//   colmap:  output-column permutation (len cap_out; value n_out_old means
+//            "no old column" -> -1), or NULL to remap columns in place
+//            (idx_out may alias idx_in; columns >= n_out_old untouched).
+int lgs_remap_map(const int32_t* idx_in, int32_t* idx_out, int k,
+                  int64_t cap_out, int64_t n_out_old, const int32_t* table,
+                  const int32_t* colmap) {
+  for (int kk = 0; kk < k; ++kk) {
+    const int32_t* src = idx_in + static_cast<int64_t>(kk) * cap_out;
+    int32_t* dst = idx_out + static_cast<int64_t>(kk) * cap_out;
+    if (colmap == nullptr) {
+      for (int64_t j = 0; j < n_out_old; ++j) {
+        int32_t v = src[j];
+        dst[j] = (v < 0) ? -1 : table[v];
+      }
+    } else {
+      for (int64_t j = 0; j < cap_out; ++j) {
+        int32_t cm = colmap[j];
+        if (cm >= n_out_old) {
+          dst[j] = -1;
+          continue;
+        }
+        int32_t v = src[cm];
+        dst[j] = (v < 0) ? -1 : (table ? table[v] : v);
+      }
+    }
+  }
+  return 0;
+}
+
 // Deduplicate integer coords: writes indices of first occurrences (in
 // input order) to keep_out, returns the count.
 int64_t lgs_quantize(const int32_t* coords, int64_t n, int32_t* keep_out) {

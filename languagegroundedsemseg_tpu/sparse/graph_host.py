@@ -381,9 +381,7 @@ def _sentinel_plan(idx: np.ndarray, offs: np.ndarray, z_step: int, num: int):
     if layout is None:
         return None
     _, cols, _ = layout
-    both_set: set = set()
-    bot_set: set = set()
-    top_set: set = set()
+    both_l, bot_l, top_l = [], [], []
     for kA, kB, kC in cols:
         a = idx[kA][:num].astype(np.int64)
         b = idx[kB][:num].astype(np.int64)
@@ -394,24 +392,30 @@ def _sentinel_plan(idx: np.ndarray, offs: np.ndarray, z_step: int, num: int):
             ab, cb = a[both], c[both]
             if np.any(cb != ab + 1):
                 return None  # size-1 hole rows must be physically adjacent
-            both_set.update(ab.tolist())
-        bot_set.update(a[av & ~cv & ~bv].tolist())
-        top_set.update((c[cv & ~av & ~bv] - 1).tolist())
+            both_l.append(ab)
+        bot_l.append(a[av & ~cv & ~bv])
+        top_l.append(c[cv & ~av & ~bv] - 1)
+    both_u = np.unique(np.concatenate(both_l)) if both_l else np.zeros(0, np.int64)
+    bot_u = np.unique(np.concatenate(bot_l))
+    top_u = np.unique(np.concatenate(top_l))
     # combined boundaries exclude one-sided demands (see docstring); if the
     # invariant is ever violated, bail out rather than mis-serve
-    if both_set & (bot_set | top_set):
+    if (np.intersect1d(both_u, bot_u).size
+            or np.intersect1d(both_u, top_u).size):
         return None
-    pos, mps, mns = [], [], []
-    for p in sorted(both_set | bot_set | top_set):
-        if p in both_set:
-            pos.append(p); mps.append(1.0); mns.append(1.0)
-        else:
-            if p in bot_set:
-                pos.append(p); mps.append(1.0); mns.append(0.0)
-            if p in top_set:
-                pos.append(p); mps.append(0.0); mns.append(1.0)
-    return (np.asarray(pos, np.int64), np.asarray(mps, np.float32),
-            np.asarray(mns, np.float32))
+    # one row per combined boundary (mp=mn=1); a boundary with bottom-only
+    # AND top-only demand gets two rows in that order (the a+1 / c-1 anchor
+    # rules) — stable sort on (position, kind-rank) with bottom before top
+    pos = np.concatenate([both_u, bot_u, top_u])
+    mps = np.concatenate([np.ones(both_u.size + bot_u.size, np.float32),
+                          np.zeros(top_u.size, np.float32)])
+    mns = np.concatenate([np.ones(both_u.size, np.float32),
+                          np.zeros(bot_u.size, np.float32),
+                          np.ones(top_u.size, np.float32)])
+    rank = np.concatenate([np.zeros(both_u.size + bot_u.size, np.int8),
+                           np.ones(top_u.size, np.int8)])
+    order = np.lexsort((rank, pos))
+    return pos[order], mps[order], mns[order]
 
 
 def flex_bucket(n: int) -> int:
@@ -522,12 +526,32 @@ def expand_sentinels(
     if all(v is None for v in info):
         return info
 
+    # Native one-pass remap (csrc lgs_remap_map) — the numpy composition
+    # below costs 3 full-map passes/copies per map and dominated the batch
+    # finalize time; the ctypes path fuses them and releases the GIL.
+    try:
+        from languagegroundedsemseg_tpu.sparse.graph_native import remap_map_native
+    except Exception:  # pragma: no cover - import cycle guard
+        remap_map_native = None
+
     for name, ms in spec.maps.items():
         in_info, out_info = info[ms.level_in], info[ms.level_out]
         if in_info is None and out_info is None:
             continue
         idx = maps_idx[name]
         n_out_old = old_nums[ms.level_out]
+        if remap_map_native is not None:
+            n_in_old = old_nums[ms.level_in]
+            table = (in_info["new_pos"][:n_in_old].astype(np.int32)
+                     if in_info is not None else None)
+            colmap = None
+            if out_info is not None:
+                colmap = np.full(idx.shape[1], n_out_old, np.int32)
+                colmap[out_info["new_pos"]] = np.arange(n_out_old, dtype=np.int32)
+            out = remap_map_native(idx, n_out_old, table=table, colmap=colmap)
+            if out is not None:
+                maps_idx[name] = out
+                continue
         vals = idx[:, :n_out_old]
         if in_info is not None:
             # remap input rows through a lookup table; slot -1 at the END so
@@ -569,7 +593,8 @@ _WINDOW_MENU = (
 )
 
 
-def _percol_windows(anchors, cap, tile, win, cap_in=None, center="median"):
+def _percol_windows(anchors, cap, tile, win, cap_in=None, center="median",
+                    sort_cache=None):
     """Median-centered per-(tile, column) window starts.
 
     Returns (wstart (n_cols, n_tiles) int32, bad (n_cols, n_rows) bool):
@@ -579,6 +604,11 @@ def _percol_windows(anchors, cap, tile, win, cap_in=None, center="median"):
     inside one. ``cap_in`` is the anchored (input) array's row count —
     defaults to ``cap`` (= the output tiling length, the k3 same-level
     case); strided down maps anchor a different level's rows.
+
+    sort_cache, if given, memoizes the per-tile integer sort by ``tile``
+    across menu trials of the SAME anchors array (the sort dominates this
+    function's cost and the menu reuses each tile size with several
+    window widths).
     """
     if cap_in is None:
         cap_in = cap
@@ -598,8 +628,13 @@ def _percol_windows(anchors, cap, tile, win, cap_in=None, center="median"):
         # the end, so the median of valid entries sits at index
         # (count-1)//2. (An order of magnitude faster than nanmedian's
         # masked-array path — this runs per menu trial per map per batch.)
-        srt = np.sort(av, axis=2)
-        cnt = (srt < cap_in).sum(axis=2)
+        if sort_cache is not None and tile in sort_cache:
+            srt, cnt = sort_cache[tile]
+        else:
+            srt = np.sort(av, axis=2)
+            cnt = (srt < cap_in).sum(axis=2)
+            if sort_cache is not None:
+                sort_cache[tile] = (srt, cnt)
         mid = np.maximum(cnt - 1, 0) // 2
         med = np.take_along_axis(srt, mid[:, :, None], axis=2)[:, :, 0].astype(np.int64)
     # all-guard tiles get a proportional default position
@@ -611,32 +646,41 @@ def _percol_windows(anchors, cap, tile, win, cap_in=None, center="median"):
 
 
 def _route_bad(anchors, bad, guard=None):
-    """Guard out-of-window anchors; return their (col, out_row, anchor)
-    COO entries."""
+    """Guard out-of-window anchors; return their (cols, out_rows, anchors)
+    COO entry arrays."""
     gis, outs = np.nonzero(bad)
-    entries = [(int(g), int(o), int(anchors[g, o])) for g, o in zip(gis, outs)]
+    entries = (gis.astype(np.int64), outs.astype(np.int64),
+               anchors[gis, outs].astype(np.int64))
     anchors[bad] = anchors.shape[1] if guard is None else guard
     return entries
+
+
+def _cat_entries(a, b):
+    """Concatenate two (cols, outs, ins) entry triples."""
+    return tuple(np.concatenate([x, y]) for x, y in zip(a, b))
+
+
+_EMPTY_ENTRIES = (np.zeros(0, np.int64),) * 3
 
 
 def _pack_ov(ov_entries, n_cols, ov_cap, cap, guard_in=None, guard_out=None):
     """Column-major padded COO arrays (see MaskedShiftMap.ov_*).
 
-    Static bounds are TIGHT power-of-2 buckets of the actual counts, not
-    the acceptance budget: ov_seg bounds the per-column dynamic_slice and
-    the array is padded so the last column's slice stays in bounds. The
-    old ``ov_seg = ov_cap`` padding made the device process 2*ov_cap
-    gather rows and 8*ov_cap GEMM rows per conv regardless of the real
-    overflow (12x the needed work at bench shapes). Pow-2 bucketing keeps
-    jit cache churn bounded while tracking the data.
+    ov_entries is a (cols, out_rows, anchors) triple of equal-length int64
+    arrays. Static bounds are TIGHT power-of-2 buckets of the actual
+    counts, not the acceptance budget: ov_seg bounds the per-column
+    dynamic_slice and the array is padded so the last column's slice stays
+    in bounds. The old ``ov_seg = ov_cap`` padding made the device process
+    2*ov_cap gather rows and 8*ov_cap GEMM rows per conv regardless of the
+    real overflow (12x the needed work at bench shapes). Pow-2 bucketing
+    keeps jit cache churn bounded while tracking the data.
     """
     ov_off = np.zeros(n_cols + 1, np.int32)
-    if not ov_entries:
+    if len(ov_entries[0]) == 0:
         return np.zeros(0, np.int32), np.zeros(0, np.int32), ov_off, 512
-    ov_entries = sorted(ov_entries)
-    gis = np.array([e[0] for e in ov_entries])
-    ov_out = np.array([e[1] for e in ov_entries], np.int64)
-    ov_in = np.array([e[2] for e in ov_entries], np.int64)
+    gis, ov_out, ov_in = ov_entries
+    order = np.lexsort((ov_in, ov_out, gis))
+    gis, ov_out, ov_in = gis[order], ov_out[order], ov_in[order]
     counts = np.bincount(gis, minlength=n_cols)
     ov_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
     ov_seg = max(512, 1 << int(np.ceil(np.log2(max(int(counts.max()), 1)))))
@@ -778,27 +822,27 @@ def _try_masked_shift_map(
     # (COO) also cover every pair exactly once.
     from languagegroundedsemseg_tpu.ops.msconv import GWIN_MARGIN
 
-    ov_entries = []
-    for gi in range(n_cols):
-        av_ = anchors[gi].astype(np.int64)
-        far = (av_ < cap) & (np.abs(av_ - rows) > GWIN_MARGIN)
-        for o, a_row in zip(np.nonzero(far)[0], av_[far]):
-            ov_entries.append((gi, int(o), int(a_row)))
-        anchors[gi][far] = cap
+    far_all = (anchors.astype(np.int64) < cap) & (
+        np.abs(anchors.astype(np.int64) - rows[None, :]) > GWIN_MARGIN)
+    ov_entries = _route_bad(anchors, far_all)
 
     ov_cap = max(128, (cap // 16 + 127) // 128 * 128)
     wstart = np.zeros(0, np.int32)
     inv_wstart = np.zeros(0, np.int32)
-    dwov_entries: list = []
+    dwov_entries = _EMPTY_ENTRIES
     tile = win = 0
+    sort_cache_f: dict = {}
+    sort_cache_i: dict = {}
     for t_, w_ in _WINDOW_MENU:
         if cap % t_ or cap < max(2 * t_, w_):
             continue
-        ws_f, bad_f = _percol_windows(anchors, cap, t_, w_)
-        ws_i, bad_i = _percol_windows(inv_anchors, cap, t_, w_)
-        if (len(ov_entries) + bad_f.sum() <= ov_cap
+        ws_f, bad_f = _percol_windows(anchors, cap, t_, w_,
+                                      sort_cache=sort_cache_f)
+        ws_i, bad_i = _percol_windows(inv_anchors, cap, t_, w_,
+                                      sort_cache=sort_cache_i)
+        if (len(ov_entries[0]) + bad_f.sum() <= ov_cap
                 and bad_i.sum() <= ov_cap):
-            ov_entries += _route_bad(anchors, bad_f)
+            ov_entries = _cat_entries(ov_entries, _route_bad(anchors, bad_f))
             # dwov pairs in _ov_dw_pieces orientation: in = T3 row (the
             # anchor r), out = the gradient row (the output o)
             dwov_entries = _route_bad(inv_anchors, bad_i)
@@ -806,7 +850,7 @@ def _try_masked_shift_map(
             inv_wstart = ws_i.T.reshape(-1)
             tile, win = t_, w_
             break
-    if len(ov_entries) > ov_cap:
+    if len(ov_entries[0]) > ov_cap:
         return None  # pathological outlier count: flat fallback
 
     ov_in, ov_out, ov_off, ov_seg = _pack_ov(ov_entries, n_cols, ov_cap, cap)
@@ -874,7 +918,7 @@ def _try_slot_window_map(idx: np.ndarray, cap_in: int,
     kslot[ins] = slots_grid[v]
 
     ov_cap = max(128, (cap_out // 16 + 127) // 128 * 128)
-    ov_entries: list = []
+    ov_entries = _EMPTY_ENTRIES
     wstart = np.zeros(0, np.int32)
     tile = win = 0
     # Cost bounds vs the flat gather path (row-count bound, ~4.4 ns/row

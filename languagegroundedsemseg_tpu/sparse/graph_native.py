@@ -62,8 +62,37 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.lgs_quantize.restype = ctypes.c_int64
     lib.lgs_quantize.argtypes = [i32p, ctypes.c_int64, i32p]
+    lib.lgs_remap_map.restype = ctypes.c_int
+    lib.lgs_remap_map.argtypes = [
+        i32p, i32p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64, i32p, i32p,
+    ]
     _lib = lib
     return _lib
+
+
+def remap_map_native(idx, n_out_old, table=None, colmap=None):
+    """One-pass sentinel remap of a flat kernel map (expand_sentinels):
+    input rows through ``table`` and/or columns through ``colmap``.
+    Returns the remapped (k, cap_out) array (in-place when colmap is None),
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    null = ctypes.POINTER(ctypes.c_int32)()
+    tp = _ptr(np.ascontiguousarray(table, np.int32)) if table is not None else null
+    if colmap is None:
+        out = idx
+        cp = null
+    else:
+        out = np.empty_like(idx)
+        cp = _ptr(np.ascontiguousarray(colmap, np.int32))
+    rc = lib.lgs_remap_map(
+        _ptr(idx), _ptr(out), idx.shape[0], idx.shape[1], int(n_out_old),
+        tp, cp,
+    )
+    assert rc == 0
+    return out
 
 
 def native_available() -> bool:

@@ -756,50 +756,50 @@ def _try_masked_shift_map(
         is_sent = np.zeros(cap, bool)
         mc = vB.astype(np.float32)
 
-    anchors = np.empty((len(cols), cap), np.int32)
-    for gi, (kA, kB, kC) in enumerate(cols):
-        b = idx[kB].astype(np.int64)
-        av, bv, cv = idx[kA] >= 0, b >= 0, idx[kC] >= 0
-        if validate:
-            # anchored triples read physical neighbors; contiguity assert
-            if np.any(av & bv & (idx[kA] != b - 1)) or np.any(cv & bv & (idx[kC] != b + 1)):
-                return None
-            # the masks must not zero a true co-valid neighbor at the anchor
-            if np.any(av & bv & (mp[np.where(bv, b, 0)] == 0)):
-                return None
-            if np.any(cv & bv & (mn[np.where(bv, b, 0)] == 0)):
-                return None
-        # gap outputs anchor the boundary sentinel: a+1 (bottom/combined)
-        # or c-1 (top-only); verify the sentinel masks serve exactly them
-        gapL = av & ~bv
-        gapR = cv & ~av & ~bv
-        if (gapL.any() or gapR.any()) and sent is None:
+    # all 8 columns at once: (n_cols, cap) slot-triple tables
+    kAs = np.array([c[0] for c in cols])
+    kBs = np.array([c[1] for c in cols])
+    kCs = np.array([c[2] for c in cols])
+    A, B, C = idx[kAs], idx[kBs], idx[kCs]
+    av, bv, cv = A >= 0, B >= 0, C >= 0
+    gapL = av & ~bv
+    gapR = cv & ~av & ~bv
+    if (gapL.any() or gapR.any()) and sent is None:
+        return None
+    if validate:
+        b64 = B.astype(np.int64)
+        # anchored triples read physical neighbors; contiguity assert
+        if np.any(av & bv & (A != b64 - 1)) or np.any(cv & bv & (C != b64 + 1)):
             return None
-        anc = np.where(bv, b, cap)
+        # the masks must not zero a true co-valid neighbor at the anchor
+        banc = np.where(bv, b64, 0)
+        if np.any(av & bv & (mp[banc] == 0)) or np.any(cv & bv & (mn[banc] == 0)):
+            return None
+        # gap outputs anchor the boundary sentinel: a+1 (bottom/combined)
+        # or c-1 (top-only); the sentinel masks must serve exactly them
         if gapL.any():
-            s_ = idx[kA][gapL].astype(np.int64) + 1
-            if validate:
-                if np.any(~is_sent[s_]) or np.any(mp[s_] == 0):
-                    return None
-                # combined demands also need the right third live there
-                comb = gapL & cv
-                if comb.any():
-                    sc = idx[kA][comb].astype(np.int64) + 1
-                    if np.any(mn[sc] == 0) or np.any(idx[kC][comb] != sc + 1):
-                        return None
-                only = gapL & ~cv
-                if only.any():
-                    so = idx[kA][only].astype(np.int64) + 1
-                    if np.any(mn[so] != 0):
-                        return None
-            anc = np.where(gapL, idx[kA] + 1, anc)
-        if gapR.any():
-            s_ = idx[kC][gapR].astype(np.int64) - 1
-            if validate and (np.any(~is_sent[s_]) or np.any(mn[s_] == 0)
-                             or np.any(mp[s_] != 0)):
+            s_ = A[gapL].astype(np.int64) + 1
+            if np.any(~is_sent[s_]) or np.any(mp[s_] == 0):
                 return None
-            anc = np.where(gapR, idx[kC] - 1, anc)
-        anchors[gi] = anc.astype(np.int32)
+            # combined demands also need the right third live there
+            comb = gapL & cv
+            if comb.any():
+                sc = A[comb].astype(np.int64) + 1
+                if np.any(mn[sc] == 0) or np.any(C[comb] != sc + 1):
+                    return None
+            only = gapL & ~cv
+            if only.any():
+                so = A[only].astype(np.int64) + 1
+                if np.any(mn[so] != 0):
+                    return None
+        if gapR.any():
+            s_ = C[gapR].astype(np.int64) - 1
+            if (np.any(~is_sent[s_]) or np.any(mn[s_] == 0)
+                    or np.any(mp[s_] != 0)):
+                return None
+    anchors = np.where(bv, B, np.int32(cap))
+    anchors = np.where(gapL, A + 1, anchors)
+    anchors = np.where(gapR, C - 1, anchors).astype(np.int32)
 
     # Inverse anchor map over the COMPLETE pair set (before any routing):
     # the per-column anchor map is injective (a (dx, dy) translation between
@@ -809,9 +809,8 @@ def _try_masked_shift_map(
     # tiling (ops/onehot_conv.py).
     n_cols = len(cols)
     inv_anchors = np.full((n_cols, cap), cap, np.int32)
-    for gi in range(n_cols):
-        m_ = anchors[gi] < cap
-        inv_anchors[gi, anchors[gi][m_]] = np.nonzero(m_)[0]
+    gi_v, out_v = np.nonzero(anchors < cap)
+    inv_anchors[gi_v, anchors[gi_v, out_v]] = out_v
 
     # ---- overflow COO: anchors the windowed paths cannot reach ------------
     # (a) globally: |anchor - out| > GWIN_MARGIN breaks the windowed-gather
@@ -822,8 +821,9 @@ def _try_masked_shift_map(
     # (COO) also cover every pair exactly once.
     from languagegroundedsemseg_tpu.ops.msconv import GWIN_MARGIN
 
-    far_all = (anchors.astype(np.int64) < cap) & (
-        np.abs(anchors.astype(np.int64) - rows[None, :]) > GWIN_MARGIN)
+    rows32 = np.arange(cap, dtype=np.int32)
+    far_all = (anchors < cap) & (
+        np.abs(anchors - rows32[None, :]) > GWIN_MARGIN)
     ov_entries = _route_bad(anchors, far_all)
 
     ov_cap = max(128, (cap // 16 + 127) // 128 * 128)

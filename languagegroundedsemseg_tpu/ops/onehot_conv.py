@@ -315,31 +315,57 @@ def _ms_meta(meta: OHMeta) -> MSMeta:
     return MSMeta(meta.cols, meta.mirror_perm, meta.ov_seg)
 
 
+def _ov_from_pall(pall, n_cols, ov_in, ov_out, ov_off, cap):
+    """Overflow COO served straight from the projection table: the entry
+    (col, o, i)'s contribution is exactly P_col[i] — one narrow gather of
+    the already-computed pall rows + a segment sum, instead of re-gathering
+    3C-wide T3 rows and running 8 per-column GEMM segments (measured
+    8.5 ms -> <1 ms at L0 bench shapes)."""
+    if ov_in.shape[0] == 0:
+        return 0.0
+    c_run = pall.shape[1] // (n_cols + 1)
+    n = ov_in.shape[0]
+    # per-entry column from the segment offsets (entries are column-major)
+    col = jnp.searchsorted(ov_off[1:-1], jnp.arange(n, dtype=jnp.int32),
+                           side="right").astype(jnp.int32)
+    valid = ov_in < cap
+    flat = jnp.where(valid, ov_in * (n_cols + 1) + col + 1, 0)
+    p3 = pall.reshape(cap * (n_cols + 1), c_run)
+    g = jnp.take(p3, flat, axis=0).astype(jnp.float32)
+    g = jnp.where(valid[:, None], g, 0.0)
+    return jax.ops.segment_sum(
+        g, ov_out, num_segments=cap + 1, indices_are_sorted=False)[:-1]
+
+
 def _oh_fwd_impl(x, w, mp, mn, mc, anchors, wstart, ov_in, ov_out, ov_off,
                  meta: OHMeta):
     cap = x.shape[0]
-    c_out = w.shape[2]
-    t3 = _t3(x, mp, mn, mc)
     wstk = _wstack(w, meta.cols)  # (G, 3C, c_out) f32
     # ONE fused projection GEMM for all 9 columns (center block first):
     # T3 is read once and the separate f32 center round-trip disappears.
-    t3b = t3[:-1].astype(jnp.bfloat16)
+    # T3 builds directly in bf16 — the masks are {0,1}, so
+    # (x*m).astype(bf16) == x.astype(bf16)*m exactly, and the f32
+    # (cap, 3C) round-trip (680 MB at L0 bench shapes) disappears. The
+    # barrier keeps XLA from fusing the T3 build INTO the GEMM (measured
+    # 2x projection slowdown when it does); bf16 preferred_element_type
+    # fuses the output cast into the GEMM epilogue (saves a full f32
+    # round-trip of the 9-column table).
+    t3b = lax.optimization_barrier(
+        _t3(x.astype(jnp.bfloat16), mp, mn, mc)[:-1])
     wall = jnp.concatenate(list(wstk), axis=1).astype(jnp.bfloat16)
-    pall = jnp.dot(t3b, wall,
-                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    pall = jnp.dot(t3b, wall, preferred_element_type=jnp.bfloat16)
     acc = _run_sel_fwd(wstart, anchors, mc, pall, wstk.shape[0] - 1,
                        meta.tile, meta.win, meta.interpret)
     # ov entries only target mc=1 rows (sentinel outputs carry guard
     # anchors by construction), so no mask is needed after the kernel's
     # fused epilogue multiply.
-    return acc + _ov_fwd(x, mp, mn, mc, wstk, ov_in, ov_out, ov_off, cap,
-                         c_out, meta.ov_seg)
+    return acc + _ov_from_pall(pall, wstk.shape[0] - 1, ov_in, ov_out,
+                               ov_off, cap)
 
 
 def _oh_dw_impl(x, g32, mp, mn, mc, inv_anchors, inv_wstart,
                 dwov_in, dwov_out, dwov_off, meta: OHMeta, k_num):
     c = x.shape[1]
-    t3 = _t3(x, mp, mn, mc)
     dw = [None] * k_num
 
     def put(col, dwg):
@@ -347,14 +373,17 @@ def _oh_dw_impl(x, g32, mp, mn, mc, inv_anchors, inv_wstart,
             piece = dwg[j * c:(j + 1) * c]
             dw[k] = piece if dw[k] is None else dw[k] + piece
 
-    t3v = t3[:-1]
+    # bf16 T3 only (see _oh_fwd_impl) — the center contraction runs with
+    # bf16 operands / f32 accumulation, matching the fused dW kernel's
+    # precision for the other 8 columns.
+    t3b = lax.optimization_barrier(
+        _t3(x.astype(jnp.bfloat16), mp, mn, mc)[:-1])
+    gb = g32.astype(jnp.bfloat16)
     put(meta.cols[0], lax.dot_general(
-        t3v, g32, dimension_numbers=(((0,), (0,)), ((), ())),
+        t3b, gb, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32))
-    t3b = t3v.astype(jnp.bfloat16)
-    dwcols = _run_dw_fused(inv_wstart, inv_anchors, t3b,
-                           g32.astype(jnp.bfloat16), meta.tile, meta.win,
-                           meta.interpret)
+    dwcols = _run_dw_fused(inv_wstart, inv_anchors, t3b, gb,
+                           meta.tile, meta.win, meta.interpret)
     for gi, col in enumerate(meta.cols[1:]):
         put(col, dwcols[gi])
     for gi, dcol in _ov_dw_pieces(x, mp, mn, mc, g32, dwov_in, dwov_out,
@@ -495,8 +524,7 @@ def _sw_fwd_impl(x, w, anchors, wstart, ov_in, ov_out, ov_off, meta: SWMeta):
     wall = jnp.concatenate(
         [jnp.zeros((x.shape[1], c_run), jnp.bfloat16)]
         + [w[k].astype(jnp.bfloat16) for k in range(meta.n_slots)], axis=1)
-    pall = jnp.dot(xb, wall,
-                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    pall = jnp.dot(xb, wall, preferred_element_type=jnp.bfloat16)
     ones = jnp.ones((cap_out,), jnp.uint8)
     acc = _run_sel_fwd(wstart, anchors, ones, pall, meta.n_slots, meta.tile,
                        meta.win, meta.interpret, out_rows=cap_out)

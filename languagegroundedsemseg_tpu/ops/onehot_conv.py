@@ -64,10 +64,10 @@ VMEM_BUDGET = 24 * 1024 * 1024
 
 
 def _vmem_estimate(n_cols: int, tile: int, win: int, c_out: int) -> int:
-    """Per-step VMEM footprint: column windows (bf16) + selector (bf16) +
-    acc/out tiles (f32) + anchors block."""
+    """Per-step VMEM footprint: double-buffered column windows (bf16) +
+    selector (bf16) + acc/out tiles (f32) + anchors block."""
     return (
-        n_cols * win * c_out * 2
+        2 * n_cols * win * c_out * 2
         + tile * win * 2
         + 3 * tile * c_out * 4
         + n_cols * tile * 4
@@ -87,29 +87,45 @@ def _sel_fwd_kernel(n_cols, c_run, wstart_ref, anchors_ref, mc_ref,
     aligned. center_ref is the same array's block-0 lane slice delivered
     through the grid pipeline (no manual DMA needed: its rows are exactly
     the output tile's rows).
+
+    The column windows are DOUBLE-BUFFERED across grid steps (win/sem have
+    a leading 2-slot axis): step t computes from slot t%2 while slot
+    (t+1)%2 fills with tile t+1's windows, so the manual DMAs overlap the
+    previous step's selector matmuls instead of serializing with them
+    (measured ~1.5x on the shipped L0 conv).
     """
     t = pl.program_id(0)
+    nt = pl.num_programs(0)
     b = out_ref.shape[0]
-    wn = win.shape[1]
-    # all column window DMAs in flight before any compute (latency hiding)
-    dmas, starts = [], []
-    for c in range(n_cols):
-        ws = pl.multiple_of(wstart_ref[t * n_cols + c], 8)
-        starts.append(ws)
-        dma = pltpu.make_async_copy(
-            src_ref.at[pl.ds(ws, wn),
-                       pl.ds((c + 1) * c_run, c_run)],
-            win.at[c], sem.at[c])
-        dma.start()
-        dmas.append(dma)
+    wn = win.shape[2]
+
+    def dma(slot, tile, c):
+        ws = pl.multiple_of(wstart_ref[tile * n_cols + c], 8)
+        return ws, pltpu.make_async_copy(
+            src_ref.at[pl.ds(ws, wn), pl.ds((c + 1) * c_run, c_run)],
+            win.at[slot, c], sem.at[slot, c])
+
+    @pl.when(t == 0)
+    def _first():
+        for c in range(n_cols):
+            dma(0, t, c)[1].start()
+
+    @pl.when(t + 1 < nt)
+    def _next():
+        for c in range(n_cols):
+            dma((t + 1) % 2, t + 1, c)[1].start()
+
     acc = center_ref[:].astype(jnp.float32)
+    slot = t % 2
     for c in range(n_cols):
-        dmas[c].wait()
-        rel = anchors_ref[c, :] - starts[c]
+        ws, d = dma(slot, t, c)
+        d.wait()
+        rel = anchors_ref[c, :] - ws
         sel = (
             lax.broadcasted_iota(jnp.int32, (b, wn), 1) == rel[:, None]
         ).astype(jnp.bfloat16)
-        acc = acc + jnp.dot(sel, win[c], preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(sel, win[slot, c],
+                            preferred_element_type=jnp.float32)
     # fold the real-row mask into the epilogue: kills the center block's
     # garbage at sentinel rows and saves a separate full-size multiply
     # pass after the kernel (ov entries only ever target mc=1 rows)
@@ -128,32 +144,42 @@ def _dw_kernel(n_cols, wstart_ref, inv_anchors_ref, t3_ref, g_ref, out_ref,
     pipelined tile blocks and g through the per-column windows.
     """
     t = pl.program_id(0)
+    nt = pl.num_programs(0)
     b = t3_ref.shape[0]
-    wn = win.shape[1]
+    wn = win.shape[2]
 
     @pl.when(t == 0)
     def _init():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    dmas, starts = [], []
-    for c in range(n_cols):
-        ws = pl.multiple_of(wstart_ref[t * n_cols + c], 8)
-        starts.append(ws)
-        dma = pltpu.make_async_copy(
-            g_ref.at[pl.ds(ws, wn), :], win.at[c], sem.at[c])
-        dma.start()
-        dmas.append(dma)
+    def dma(slot, tile, c):
+        ws = pl.multiple_of(wstart_ref[tile * n_cols + c], 8)
+        return ws, pltpu.make_async_copy(
+            g_ref.at[pl.ds(ws, wn), :], win.at[slot, c], sem.at[slot, c])
+
+    @pl.when(t == 0)
+    def _first():
+        for c in range(n_cols):
+            dma(0, t, c)[1].start()
+
+    @pl.when(t + 1 < nt)
+    def _next():
+        for c in range(n_cols):
+            dma((t + 1) % 2, t + 1, c)[1].start()
+
+    slot = t % 2
     t3b = t3_ref[:]
     gsels = []
     for c in range(n_cols):
-        dmas[c].wait()
-        rel = inv_anchors_ref[c, :] - starts[c]
+        ws, d = dma(slot, t, c)
+        d.wait()
+        rel = inv_anchors_ref[c, :] - ws
         # rows with no inverse pair (guard) miss the window -> zero row
         sel = (
             lax.broadcasted_iota(jnp.int32, (b, wn), 1) == rel[:, None]
         ).astype(jnp.bfloat16)
         gsels.append(jnp.dot(
-            sel, win[c],
+            sel, win[slot, c],
             preferred_element_type=jnp.float32).astype(jnp.bfloat16))
     # one wide contraction per tile instead of n_cols narrow ones
     gall = jnp.concatenate(gsels, axis=1)  # (b, n_cols * c_run)
@@ -161,7 +187,7 @@ def _dw_kernel(n_cols, wstart_ref, inv_anchors_ref, t3_ref, g_ref, out_ref,
         t3b, gall, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (cw, n_cols * c_run)
     cw = t3_ref.shape[1]
-    c_run = win.shape[2]
+    c_run = win.shape[3]
     for c in range(n_cols):
         out_ref[c] += part[:, c * c_run:(c + 1) * c_run]
 
@@ -192,8 +218,8 @@ def _run_sel_fwd(wstart, anchors, mc, pall, n_cols, tile, winw, interpret,
         out_specs=pl.BlockSpec((tile, c_run), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_cols, winw, c_run), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((n_cols,)),
+            pltpu.VMEM((2, n_cols, winw, c_run), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, n_cols)),
         ],
     )
     return pl.pallas_call(
@@ -228,8 +254,8 @@ def _run_dw_fused(inv_wstart, inv_anchors, t3b, g, tile, winw, interpret):
         out_specs=pl.BlockSpec((n_cols, cw, c_out), lambda t, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_cols, winw, c_out), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((n_cols,)),
+            pltpu.VMEM((2, n_cols, winw, c_out), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, n_cols)),
         ],
     )
     return pl.pallas_call(
@@ -346,10 +372,12 @@ def _oh_fwd_impl(x, w, mp, mn, mc, anchors, wstart, ov_in, ov_out, ov_off,
     # T3 builds directly in bf16 — the masks are {0,1}, so
     # (x*m).astype(bf16) == x.astype(bf16)*m exactly, and the f32
     # (cap, 3C) round-trip (680 MB at L0 bench shapes) disappears. The
-    # barrier keeps XLA from fusing the T3 build INTO the GEMM (measured
-    # 2x projection slowdown when it does); bf16 preferred_element_type
-    # fuses the output cast into the GEMM epilogue (saves a full f32
-    # round-trip of the 9-column table).
+    # barrier keeps XLA from fusing the T3 build INTO the GEMM: in
+    # isolation the fused form wins (5.4 vs 6.7 ms,
+    # scripts/bench_proj_micro.py) but in the full conv composition it
+    # REGRESSES ~7 ms (the fused prologue re-reads x per K-panel);
+    # bf16 preferred_element_type fuses the output cast into the GEMM
+    # epilogue (saves a full f32 round-trip of the 9-column table).
     t3b = lax.optimization_barrier(
         _t3(x.astype(jnp.bfloat16), mp, mn, mc)[:-1])
     wall = jnp.concatenate(list(wstk), axis=1).astype(jnp.bfloat16)
@@ -485,7 +513,7 @@ def onehot_window_conv(x, w, msmap, bias=None, interpret=None):
     return out
 
 
-# ---- slot-window conv: strided (down) convs through the selector kernel ---
+# ---- child-sum conv: strided (down) convs through one windowed sum-matmul -
 
 
 class SWMeta(NamedTuple):
@@ -515,34 +543,107 @@ def _ov_fwd_plain(x, w, ov_in, ov_out, ov_off, n_out, ov_seg):
     )[:-1]
 
 
-def _sw_fwd_impl(x, w, anchors, wstart, ov_in, ov_out, ov_off, meta: SWMeta):
-    cap_out = anchors.shape[1]
+def _csum_kernel(cap_out, wstart_ref, parent_ref, p_ref, out_ref, win, pwin,
+                 sem, psem):
+    """out_tile = S @ P_win with S[o, i] = (parent_win[i] == o).
+
+    ONE windowed sum-matmul per output tile (vs one per (tile, slot) in a
+    per-slot selection design — 8x less window DMA). parent rides as a
+    (1, cap_in) int32 row whose window slice broadcasts across the tile's
+    output rows; rows with no pair carry parent = cap_out (never matches).
+    Double-buffered like _sel_fwd_kernel.
+    """
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    b = out_ref.shape[0]
+    wn = win.shape[1]
+
+    def dma(slot, tile_i):
+        ws = pl.multiple_of(wstart_ref[tile_i], 128)
+        return (
+            pltpu.make_async_copy(p_ref.at[pl.ds(ws, wn), :], win.at[slot],
+                                  sem.at[slot]),
+            pltpu.make_async_copy(parent_ref.at[:, pl.ds(ws, wn)],
+                                  pwin.at[slot], psem.at[slot]),
+        )
+
+    @pl.when(t == 0)
+    def _first():
+        for d in dma(0, t):
+            d.start()
+
+    @pl.when(t + 1 < nt)
+    def _next():
+        for d in dma((t + 1) % 2, t + 1):
+            d.start()
+
+    slot = t % 2
+    for d in dma(slot, t):
+        d.wait()
+    rows = t * b + lax.broadcasted_iota(jnp.int32, (b, wn), 0)
+    sel = (pwin[slot] == rows).astype(jnp.bfloat16)
+    out_ref[:] = jnp.dot(sel, win[slot], preferred_element_type=jnp.float32)
+
+
+def _run_csum(wstart, parent, pall, cap_out, tile, winw, interpret):
+    cap_in, c_run = pall.shape
+    n_tiles = cap_out // tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # parent (1, cap_in)
+            pl.BlockSpec(memory_space=pl.ANY),  # pall
+        ],
+        out_specs=pl.BlockSpec((tile, c_run), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, winw, c_run), jnp.bfloat16),
+            pltpu.VMEM((2, 1, winw), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_csum_kernel, cap_out),
+        out_shape=jax.ShapeDtypeStruct((cap_out, c_run), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(wstart, parent.reshape(1, cap_in), pall)
+
+
+def _sw_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
+                 cap_out, meta: SWMeta):
     c_run = w.shape[2]
+    k = meta.n_slots
     xb = x.astype(jnp.bfloat16)
-    # leading ZERO block plays the k3 path's center role (strided convs
-    # have no identity column); one GEMM projects all K slots
-    wall = jnp.concatenate(
-        [jnp.zeros((x.shape[1], c_run), jnp.bfloat16)]
-        + [w[k].astype(jnp.bfloat16) for k in range(meta.n_slots)], axis=1)
-    pall = jnp.dot(xb, wall, preferred_element_type=jnp.bfloat16)
-    ones = jnp.ones((cap_out,), jnp.uint8)
-    acc = _run_sel_fwd(wstart, anchors, ones, pall, meta.n_slots, meta.tile,
-                       meta.win, meta.interpret, out_rows=cap_out)
+    # one-hot slot stack: row i contributes x[i] in block kslot[i] only, so
+    # ONE GEMM computes P[i] = x[i] @ W[kslot[i]] for every row. Barriered
+    # for the same reason as the k3 projection (see _oh_fwd_impl).
+    xk = lax.optimization_barrier(jnp.concatenate(
+        [xb * (kslot == j)[:, None].astype(jnp.bfloat16) for j in range(k)],
+        axis=1))
+    wflat = jnp.concatenate([w[j] for j in range(k)],
+                            axis=0).astype(jnp.bfloat16)
+    pall = jnp.dot(xk, wflat, preferred_element_type=jnp.bfloat16)
+    acc = _run_csum(wstart, parent, pall, cap_out, meta.tile, meta.win,
+                    meta.interpret)
     return acc + _ov_fwd_plain(x, w, ov_in, ov_out, ov_off, cap_out,
                                meta.ov_seg)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
-def _sw_core(x, w, anchors, wstart, parent, kslot, ov_in, ov_out, ov_off,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _sw_core(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off, cap_out,
              meta):
-    return _sw_fwd_impl(x, w, anchors, wstart, ov_in, ov_out, ov_off,
-                        meta).astype(x.dtype)
+    return _sw_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
+                        cap_out, meta).astype(x.dtype)
 
 
-def _sw_fwd(x, w, anchors, wstart, parent, kslot, ov_in, ov_out, ov_off,
+def _sw_fwd(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off, cap_out,
             meta):
-    out = _sw_fwd_impl(x, w, anchors, wstart, ov_in, ov_out, ov_off,
-                       meta).astype(x.dtype)
+    out = _sw_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
+                       cap_out, meta).astype(x.dtype)
     return out, (x, w, parent, kslot)
 
 

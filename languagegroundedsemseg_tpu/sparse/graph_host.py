@@ -26,7 +26,7 @@ from languagegroundedsemseg_tpu.sparse.types import (
     KernelMap,
     MaskedShiftMap,
     ParentMap,
-    SlotWindowMap,
+    ChildSumMap,
     SparseLevel,
 )
 
@@ -889,61 +889,76 @@ def _try_parent_map(idx: np.ndarray) -> Optional[ParentMap]:
     parent = np.maximum(parent, 0).astype(np.int32)
     return ParentMap(parent=parent, kslot=kslot, num_slots=k)
 
-def _try_slot_window_map(idx: np.ndarray, cap_in: int,
-                         companion=None) -> "Optional[SlotWindowMap]":
-    """Window-annotate a strided (down) conv map for the selector kernel
-    (ops/onehot_conv.py:slot_window_conv).
+def _try_child_sum_map(idx: np.ndarray, cap_in: int,
+                       companion=None) -> "Optional[ChildSumMap]":
+    """Child-sum annotation for a strided (down) conv map
+    (ops/onehot_conv.py:child_sum_conv).
 
-    Each kernel slot is one selection column over the INPUT level's rows;
-    sorted keys keep the children of consecutive outputs local, so the
-    same median-centered window machinery applies with cap_in != cap_out.
-    Also derives the down map's input partition (parent/kslot: every input
-    row contributes to exactly one (output, slot) pair), which makes dX a
+    Derives the down map's input partition (parent/kslot: every input row
+    contributes to exactly one (output, slot) pair) and, per output tile,
+    ONE window over the input rows covering the tile's children (sorted
+    keys keep children of consecutive outputs local). Children outside
+    their tile's window ride the slot-major ov COO; the kernel can never
+    double count them (a foreign window's compare parent[i] == o only
+    scans o outside parent[i]'s tile). The partition also makes dX a
     ParentMap conv and dW a set of masked contractions — gather-only.
-    Returns None when no window config fits (flat path stays)."""
+    Returns None when the partition property fails or no window config
+    fits (flat path stays)."""
     k, cap_out = idx.shape
-    # partition property required for the cheap backward: each input row
-    # appears at most once across the whole table
+    # partition property required for kernel + cheap backward: each input
+    # row appears at most once across the whole table
     v = idx >= 0
-    ins = idx[v]
+    ins = idx[v].astype(np.int64)
     if len(ins) != len(np.unique(ins)):
         return None
-    anchors = np.where(v, idx, cap_in).astype(np.int32)
-    parent = np.zeros(cap_in, np.int32)
+    parent = np.full(cap_in, cap_out, np.int32)
     kslot = np.full(cap_in, k, np.int32)
     outs_grid = np.broadcast_to(np.arange(cap_out, dtype=np.int32), idx.shape)
     slots_grid = np.broadcast_to(
         np.arange(k, dtype=np.int32)[:, None], idx.shape)
     parent[ins] = outs_grid[v]
     kslot[ins] = slots_grid[v]
+    child_out = outs_grid[v].astype(np.int64)
+    child_slot = slots_grid[v].astype(np.int64)
 
-    ov_cap = max(128, (cap_out // 16 + 127) // 128 * 128)
-    ov_entries = _EMPTY_ENTRIES
+    # ov budget is generous: each COO entry costs ~3x a kernel-summed pair,
+    # so up to ~12% of pairs may overflow before the kernel loses.
+    ov_cap = max(128, (cap_out // 8 + 127) // 128 * 128)
     wstart = np.zeros(0, np.int32)
+    ov_entries = _EMPTY_ENTRIES
     tile = win = 0
-    # Cost bounds vs the flat gather path (row-count bound, ~4.4 ns/row
-    # regardless of C): win/tile caps the window-DMA amplification and win
-    # itself caps the selector FLOPs per output row (win * c_run * 2 *
-    # n_slots) — past win ~1024 the kernel loses to the flat gathers, so
-    # wider configs are not worth annotating (the map stays flat).
-    for t_, w_ in ((256, 512), (128, 512), (256, 1024), (512, 1024)):
+    for t_, w_ in ((128, 512), (128, 1024), (256, 1024), (256, 2048),
+                   (512, 2048), (512, 4096)):
         if cap_out % t_ or cap_out < 2 * t_ or cap_in < w_:
             continue
-        ws, bad = _percol_windows(anchors, cap_out, t_, w_, cap_in=cap_in,
-                                  center="midrange")
+        n_tiles = cap_out // t_
+        tid = child_out // t_
+        lo = np.full(n_tiles, np.int64(cap_in))
+        hi = np.full(n_tiles, np.int64(-1))
+        np.minimum.at(lo, tid, ins)
+        np.maximum.at(hi, tid, ins)
+        # all-empty tiles get a proportional default position
+        default = (np.arange(n_tiles, dtype=np.int64) * t_
+                   * max(cap_in // cap_out, 1))
+        mid = np.where(hi >= 0, (lo + hi) // 2, default)
+        # 128-aligned starts: Mosaic lane slices of the (1, cap_in) parent
+        # row need lane-tile alignment
+        ws = np.clip(mid - w_ // 2, 0, cap_in - w_) & ~np.int64(127)
+        bad = (ins < ws[tid]) | (ins >= ws[tid] + w_)
         if bad.sum() <= ov_cap:
-            ov_entries = _route_bad(anchors, bad, guard=cap_in)
-            wstart = ws.T.reshape(-1)
+            ov_entries = (child_slot[bad], child_out[bad], ins[bad])
+            wstart = ws.astype(np.int32)
             tile, win = t_, w_
             break
     if tile == 0:
         return None
     ov_in, ov_out, ov_off, ov_seg = _pack_ov(
         ov_entries, k, ov_cap, cap_out, guard_in=cap_in, guard_out=cap_out)
-    return SlotWindowMap(
-        anchors=anchors, wstart=wstart, parent=parent, kslot=kslot,
+    return ChildSumMap(
+        wstart=wstart, parent=parent, kslot=kslot,
         ov_in=ov_in, ov_out=ov_out, ov_off=ov_off,
-        num_slots=k, ov_seg=int(ov_seg), tile=int(tile), win=int(win),
+        num_slots=k, out_capacity_s=int(cap_out),
+        ov_seg=int(ov_seg), tile=int(tile), win=int(win),
         in_capacity=int(cap_in), companion=companion,
     )
 
@@ -1074,7 +1089,7 @@ def finalize_graph(
                     gmaps[name] = dataclasses_replace_pm(pm, ms.companion)
                     continue
             if not ms.kind.transpose and ms.kind.stride > 1 and fuse_grouped:
-                sw = _try_slot_window_map(
+                sw = _try_child_sum_map(
                     idx, capacities[ms.level_in], companion=ms.companion)
                 if sw is not None:
                     gmaps[name] = sw

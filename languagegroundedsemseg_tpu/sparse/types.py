@@ -178,29 +178,39 @@ class ParentMap:
 
 
 @struct.dataclass
-class SlotWindowMap:
-    """Selector-kernel annotation for strided (down) convs.
+class ChildSumMap:
+    """Child-sum annotation for strided (down) convs.
 
-    Each of the K kernel slots is its own selection column: anchors[k, o]
-    is the INPUT row that output o gathers for slot k (the flat table
-    itself; guard = cap_in). Sorted keys make the children of consecutive
-    outputs local in the input array, so the one-hot window kernel
-    (ops/onehot_conv.py) serves them through per-(tile, slot) windows over
-    the fused projection P = x @ [0 | W_1 | ... | W_K] (the leading zero
-    block plays the k3 path's center role — strided convs have none).
+    The down map is a PARTITION of input rows — each input voxel
+    contributes to exactly one (parent output, slot) pair — so the conv is
 
-    The backward needs no window machinery: the down map is a PARTITION of
-    input rows (each input voxel has exactly one (parent output, slot)), so
-    dX is a ParentMap conv with transposed weights and dW is K masked
-    contractions against g[parent] — both gather-only. parent/kslot here
-    are the DOWN direction's partition (input row -> parent output row /
-    slot), distinct from the companion up map's ParentMap.
+        out[o] = sum_{i : parent[i] == o} x[i] @ W[kslot[i]]
+               = S @ P,   S[o, i] = (parent[i] == o),
+                          P[i]    = x[i] @ W[kslot[i]].
+
+    P comes from ONE GEMM over the one-hot slot stack
+    [x * (kslot==0) | ... | x * (kslot==K-1)] @ [W_0; ...; W_K-1], and
+    sorted keys make the children of consecutive outputs local in the
+    input array, so S collapses to a single per-output-tile windowed
+    sum-matmul on the MXU (ops/onehot_conv.py:_csum_kernel) — one window
+    DMA per tile instead of one per (tile, slot), which is what made the
+    previous per-slot selection design DMA-bound. Children outside their
+    tile's window ride the ov COO; they can never double count because a
+    foreign tile's window compares parent[i] against output rows outside
+    parent[i]'s tile.
+
+    The backward needs no window machinery either: dX is a ParentMap conv
+    with transposed weights and dW is K masked contractions against
+    g[parent] — both gather-only and exact over ALL pairs (kernel + ov).
+    parent/kslot are the DOWN direction's partition (input row -> parent
+    output row / slot), distinct from the companion up map's ParentMap;
+    rows with no pair carry parent = cap_out, kslot = K (guards).
 
     ov_*: out-of-window entries, column(slot)-major segments, same device
     format as MaskedShiftMap.ov_* but gathering plain x rows.
+    wstart: (n_tiles,) int32 — 128-aligned window starts over input rows.
     """
 
-    anchors: jnp.ndarray
     wstart: jnp.ndarray
     parent: jnp.ndarray
     kslot: jnp.ndarray
@@ -208,6 +218,7 @@ class SlotWindowMap:
     ov_out: jnp.ndarray
     ov_off: jnp.ndarray
     num_slots: int = struct.field(pytree_node=False)
+    out_capacity_s: int = struct.field(pytree_node=False, default=0)
     ov_seg: int = struct.field(pytree_node=False, default=0)
     tile: int = struct.field(pytree_node=False, default=0)
     win: int = struct.field(pytree_node=False, default=0)
@@ -216,7 +227,7 @@ class SlotWindowMap:
 
     @property
     def out_capacity(self) -> int:
-        return self.anchors.shape[1]
+        return self.out_capacity_s
 
 
 @struct.dataclass

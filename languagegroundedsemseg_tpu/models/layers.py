@@ -29,7 +29,7 @@ from languagegroundedsemseg_tpu.ops.spconv import (
 from languagegroundedsemseg_tpu.sparse.types import (
     MaskedShiftMap,
     ParentMap,
-    SlotWindowMap,
+    ChildSumMap,
 )
 from languagegroundedsemseg_tpu.ops.segment import batch_broadcast, batch_mean
 from languagegroundedsemseg_tpu.sparse.types import ConvGraph
@@ -81,7 +81,7 @@ class SparseConv(nn.Module):
             cpm = graph.gmaps.get(km.companion)
             if isinstance(cpm, ParentMap):
                 companion_parent = (cpm.parent, cpm.kslot)
-        if isinstance(gm, SlotWindowMap):
+        if isinstance(gm, ChildSumMap):
             # strided (down) convs through the selector kernel; the flat
             # gather path below stays as the CPU / no-window fallback
             out = slot_window_conv(xd, wd, gm, bd)

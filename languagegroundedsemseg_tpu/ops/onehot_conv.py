@@ -647,7 +647,7 @@ def _sw_fwd(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off, cap_out,
     return out, (x, w, parent, kslot)
 
 
-def _sw_bwd(meta: SWMeta, res, g_out):
+def _sw_bwd(cap_out, meta: SWMeta, res, g_out):
     """Gather-only backward via the down map's input PARTITION: every input
     row belongs to exactly one (parent output, slot) pair, so dX is a
     ParentMap conv with transposed weights and dW is K masked contractions
@@ -669,7 +669,7 @@ def _sw_bwd(meta: SWMeta, res, g_out):
             x32, gk, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
     dw = jnp.stack(dws)
-    return (dx.astype(x.dtype), dw.astype(w.dtype)) + (None,) * 7
+    return (dx.astype(x.dtype), dw.astype(w.dtype)) + (None,) * 6
 
 
 _sw_core.defvjp(_sw_fwd, _sw_bwd)
@@ -690,7 +690,7 @@ def slot_window_conv(x, w, swmap, bias=None, interpret=None):
         if not _tpu_kernels_ok():
             return None
         interpret = False
-    cap_out = swmap.anchors.shape[1]
+    cap_out = swmap.out_capacity
     c_out = w.shape[2]
     n_cols = swmap.num_slots
     if cap_out % tile or x.shape[0] < winw:
@@ -701,9 +701,9 @@ def slot_window_conv(x, w, swmap, bias=None, interpret=None):
         return None
     meta = SWMeta(n_cols, int(swmap.ov_seg), tile, winw, interpret)
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad))) if c_pad else w
-    out = _sw_core(x, wp, swmap.anchors, swmap.wstart, swmap.parent,
+    out = _sw_core(x, wp, swmap.wstart, swmap.parent,
                    swmap.kslot, swmap.ov_in, swmap.ov_out, swmap.ov_off,
-                   meta)
+                   cap_out, meta)
     if c_pad:
         out = out[:, :c_out]
     if bias is not None:

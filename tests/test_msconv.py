@@ -42,9 +42,9 @@ def test_masked_shift_map_structure():
     m = g.gmaps.get("k3")
     assert isinstance(m, MaskedShiftMap)
     assert isinstance(g.gmaps.get("up1"), ParentMap)
-    from languagegroundedsemseg_tpu.sparse.types import SlotWindowMap
+    from languagegroundedsemseg_tpu.sparse.types import ChildSumMap
     # k2s2 down now carries a selector-kernel window annotation
-    assert isinstance(g.gmaps.get("down0"), SlotWindowMap)
+    assert isinstance(g.gmaps.get("down0"), ChildSumMap)
     # 9 columns, center first; every slot exactly once
     assert len(m.cols) == 9
     covered = sorted(k for ks in m.cols for k in ks)

@@ -138,7 +138,7 @@ def test_slot_window_down_conv_matches_flat():
     real stride-2 down map, forward and grads."""
     from languagegroundedsemseg_tpu.ops.onehot_conv import slot_window_conv
     from languagegroundedsemseg_tpu.sparse.offsets import ConvKind as CK
-    from languagegroundedsemseg_tpu.sparse.types import SlotWindowMap
+    from languagegroundedsemseg_tpu.sparse.types import ChildSumMap
 
     rng = np.random.default_rng(7)
     coords = make_cloud(rng, n=2600, extent=40)
@@ -152,7 +152,7 @@ def test_slot_window_down_conv_matches_flat():
     )
     g = build_graph(coords, spec, (4096, 2048), drop_redundant=False)
     sw = g.gmaps.get("down0")
-    assert isinstance(sw, SlotWindowMap) and sw.tile > 0
+    assert isinstance(sw, ChildSumMap) and sw.tile > 0
     km = g.maps["down0"]
     cap_in = g.levels[0].capacity
     cin, cout = 16, 24

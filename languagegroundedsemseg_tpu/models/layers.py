@@ -19,7 +19,7 @@ from flax import linen as nn
 from languagegroundedsemseg_tpu.ops.msconv import masked_shift_conv
 from languagegroundedsemseg_tpu.ops.onehot_conv import (
     onehot_window_conv,
-    slot_window_conv,
+    child_sum_conv,
 )
 from languagegroundedsemseg_tpu.ops.spconv import (
     pointwise_conv,
@@ -84,7 +84,7 @@ class SparseConv(nn.Module):
         if isinstance(gm, ChildSumMap):
             # strided (down) convs through the selector kernel; the flat
             # gather path below stays as the CPU / no-window fallback
-            out = slot_window_conv(xd, wd, gm, bd)
+            out = child_sum_conv(xd, wd, gm, bd)
             if out is not None:
                 return out
         if isinstance(gm, ParentMap):

@@ -516,12 +516,24 @@ def onehot_window_conv(x, w, msmap, bias=None, interpret=None):
 # ---- child-sum conv: strided (down) convs through one windowed sum-matmul -
 
 
-class SWMeta(NamedTuple):
+class CSMeta(NamedTuple):
     n_slots: int
     ov_seg: int
     tile: int
     win: int
     interpret: bool
+
+
+def _csum_vmem_estimate(tile: int, win: int, c_out: int) -> int:
+    """Per-step VMEM for the child-sum kernel: it allocates ONE shared
+    double-buffered projection window (not one per slot like the k3 kernel
+    modeled by _vmem_estimate) + the parent windows + selector + out tile."""
+    return (
+        2 * win * c_out * 2   # (2, win, c_run) bf16 projection window
+        + 2 * win * 4         # (2, 1, win) int32 parent window
+        + tile * win * 2      # selector one-hot (bf16 intermediate)
+        + 2 * tile * c_out * 4  # out tile f32 + acc headroom
+    )
 
 
 def _ov_fwd_plain(x, w, ov_in, ov_out, ov_off, n_out, ov_seg):
@@ -613,8 +625,8 @@ def _run_csum(wstart, parent, pall, cap_out, tile, winw, interpret):
     )(wstart, parent.reshape(1, cap_in), pall)
 
 
-def _sw_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
-                 cap_out, meta: SWMeta):
+def _cs_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
+                 cap_out, meta: CSMeta):
     c_run = w.shape[2]
     k = meta.n_slots
     xb = x.astype(jnp.bfloat16)
@@ -634,20 +646,20 @@ def _sw_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def _sw_core(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off, cap_out,
+def _cs_core(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off, cap_out,
              meta):
-    return _sw_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
+    return _cs_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
                         cap_out, meta).astype(x.dtype)
 
 
-def _sw_fwd(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off, cap_out,
+def _cs_fwd(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off, cap_out,
             meta):
-    out = _sw_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
+    out = _cs_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
                        cap_out, meta).astype(x.dtype)
     return out, (x, w, parent, kslot)
 
 
-def _sw_bwd(cap_out, meta: SWMeta, res, g_out):
+def _cs_bwd(cap_out, meta: CSMeta, res, g_out):
     """Gather-only backward via the down map's input PARTITION: every input
     row belongs to exactly one (parent output, slot) pair, so dX is a
     ParentMap conv with transposed weights and dW is K masked contractions
@@ -658,9 +670,13 @@ def _sw_bwd(cap_out, meta: SWMeta, res, g_out):
     x, w, parent, kslot = res
     g32 = g_out.astype(jnp.float32)
     wt = jnp.swapaxes(w.astype(jnp.float32), 1, 2)  # (K, c_run, C)
-    dx = _parent_fwd_impl(g32, wt, parent, kslot)
+    # guard rows carry parent = cap_out (one past the end); clip explicitly
+    # so the (discarded — kslot never matches) gather is in-bounds by
+    # construction rather than by JAX's OOB-clamp semantics
     n_out = g32.shape[0]
-    gp = jnp.take(g32, jnp.clip(parent, 0, n_out - 1), axis=0)
+    pclip = jnp.clip(parent, 0, n_out - 1)
+    dx = _parent_fwd_impl(g32, wt, pclip, kslot)
+    gp = jnp.take(g32, pclip, axis=0)
     x32 = x.astype(jnp.float32)
     dws = []
     for k in range(meta.n_slots):
@@ -672,17 +688,17 @@ def _sw_bwd(cap_out, meta: SWMeta, res, g_out):
     return (dx.astype(x.dtype), dw.astype(w.dtype)) + (None,) * 6
 
 
-_sw_core.defvjp(_sw_fwd, _sw_bwd)
+_cs_core.defvjp(_cs_fwd, _cs_bwd)
 
 
-def slot_window_conv(x, w, swmap, bias=None, interpret=None):
-    """Apply a strided (down) conv through a window-annotated SlotWindowMap.
+def child_sum_conv(x, w, csmap, bias=None, interpret=None):
+    """Apply a strided (down) conv through a window-annotated ChildSumMap.
 
     Returns None when the map has no annotation, shapes do not divide, or
     the VMEM footprint is out of budget — the caller falls back to the
     flat gather path (which also serves CPU/tests)."""
-    tile, winw = int(getattr(swmap, "tile", 0)), int(getattr(swmap, "win", 0))
-    if tile <= 0 or swmap.wstart.size == 0:
+    tile, winw = int(getattr(csmap, "tile", 0)), int(getattr(csmap, "win", 0))
+    if tile <= 0 or csmap.wstart.size == 0:
         return None
     if interpret is None:
         if jax.default_backend() != "tpu":
@@ -690,19 +706,19 @@ def slot_window_conv(x, w, swmap, bias=None, interpret=None):
         if not _tpu_kernels_ok():
             return None
         interpret = False
-    cap_out = swmap.out_capacity
+    cap_out = csmap.out_capacity
     c_out = w.shape[2]
-    n_cols = swmap.num_slots
+    n_cols = csmap.num_slots
     if cap_out % tile or x.shape[0] < winw:
         return None
     c_pad = (-c_out) % 128
     c_run = c_out + c_pad
-    if _vmem_estimate(n_cols, tile, winw, c_run) > VMEM_BUDGET:
+    if _csum_vmem_estimate(tile, winw, c_run) > VMEM_BUDGET:
         return None
-    meta = SWMeta(n_cols, int(swmap.ov_seg), tile, winw, interpret)
+    meta = CSMeta(n_cols, int(csmap.ov_seg), tile, winw, interpret)
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad))) if c_pad else w
-    out = _sw_core(x, wp, swmap.wstart, swmap.parent,
-                   swmap.kslot, swmap.ov_in, swmap.ov_out, swmap.ov_off,
+    out = _cs_core(x, wp, csmap.wstart, csmap.parent,
+                   csmap.kslot, csmap.ov_in, csmap.ov_out, csmap.ov_off,
                    cap_out, meta)
     if c_pad:
         out = out[:, :c_out]

@@ -33,12 +33,12 @@ def main():
     from languagegroundedsemseg_tpu.sparse.types import (
         MaskedShiftMap,
         ParentMap,
-        SlotWindowMap,
+        ChildSumMap,
     )
     from languagegroundedsemseg_tpu.ops.msconv import masked_shift_conv, FAST_TABLE_BYTES
     from languagegroundedsemseg_tpu.ops.onehot_conv import (
         onehot_window_conv,
-        slot_window_conv,
+        child_sum_conv,
     )
     from languagegroundedsemseg_tpu.ops.spconv import sparse_conv
 
@@ -91,10 +91,10 @@ def main():
             return jnp.dot(x, w[0]), "k1"
         km = graph.maps[map_name]
         gm = graph.gmaps.get(map_name) if graph.gmaps else None
-        if isinstance(gm, SlotWindowMap):
-            out = slot_window_conv(x, w, gm, b)
+        if isinstance(gm, ChildSumMap):
+            out = child_sum_conv(x, w, gm, b)
             if out is not None:
-                return out, "slotwin"
+                return out, "csum"
         if isinstance(gm, ParentMap):
             from languagegroundedsemseg_tpu.ops.spconv import sparse_conv_parent
             comp = graph.maps.get(gm.companion) if gm.companion else None

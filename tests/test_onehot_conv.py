@@ -134,9 +134,9 @@ def test_small_caps_have_no_windows():
 
 
 def test_slot_window_down_conv_matches_flat():
-    """slot_window_conv (interpret kernel) vs the flat gather path on a
+    """child_sum_conv (interpret kernel) vs the flat gather path on a
     real stride-2 down map, forward and grads."""
-    from languagegroundedsemseg_tpu.ops.onehot_conv import slot_window_conv
+    from languagegroundedsemseg_tpu.ops.onehot_conv import child_sum_conv
     from languagegroundedsemseg_tpu.sparse.offsets import ConvKind as CK
     from languagegroundedsemseg_tpu.sparse.types import ChildSumMap
 
@@ -168,7 +168,7 @@ def test_slot_window_down_conv_matches_flat():
     from languagegroundedsemseg_tpu.ops.spconv import sparse_conv
 
     ref = sparse_conv(x, wj, km.idx, None, center_slot=km.center_slot)
-    out = slot_window_conv(x, wj, sw, interpret=True)
+    out = child_sum_conv(x, wj, sw, interpret=True)
     assert out is not None
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
@@ -178,7 +178,7 @@ def test_slot_window_down_conv_matches_flat():
                             center_slot=km.center_slot) ** 2).sum()
 
     def loss_sw(x, w):
-        return (slot_window_conv(x, w, sw, interpret=True) ** 2).sum()
+        return (child_sum_conv(x, w, sw, interpret=True) ** 2).sum()
 
     gx1, gw1 = jax.grad(loss_flat, (0, 1))(x, wj)
     gx2, gw2 = jax.grad(loss_sw, (0, 1))(x, wj)

@@ -20,6 +20,7 @@ from languagegroundedsemseg_tpu.ops.msconv import masked_shift_conv
 from languagegroundedsemseg_tpu.ops.onehot_conv import (
     onehot_window_conv,
     child_sum_conv,
+    transpose_child_sum_conv,
 )
 from languagegroundedsemseg_tpu.ops.spconv import (
     pointwise_conv,
@@ -82,11 +83,16 @@ class SparseConv(nn.Module):
             if isinstance(cpm, ParentMap):
                 companion_parent = (cpm.parent, cpm.kslot)
         if isinstance(gm, ChildSumMap):
-            # strided (down) convs through the selector kernel; the flat
-            # gather path below stays as the CPU / no-window fallback
-            out = child_sum_conv(xd, wd, gm, bd)
-            if out is not None:
-                return out
+            # strided (down) convs: selector kernel when window-annotated,
+            # scatter fallback otherwise — never needs the flat table
+            return child_sum_conv(xd, wd, gm, bd)
+        if gm is None and km.companion:
+            # transpose (up) convs ride the companion DOWN map's
+            # ChildSumMap: same (parent, kslot) partition, offsets negate
+            # elementwise so slot order matches (ops/onehot_conv.py)
+            cgm = graph.gmaps.get(km.companion) if graph.gmaps else None
+            if isinstance(cgm, ChildSumMap):
+                return transpose_child_sum_conv(xd, wd, cgm, bd)
         if isinstance(gm, ParentMap):
             # gather-only backward via the companion down map's flat table
             comp = graph.maps.get(gm.companion) if gm.companion else None

@@ -50,14 +50,18 @@ def res16unet_graph_spec(conv1_kernel_size: int = 3, d: int = 3) -> GraphSpec:
         maps[f"l0.k{conv1_kernel_size}"] = MapSpec(
             0, 0, ConvKind(kernel_size=conv1_kernel_size),
         )
+    # keep_flat=False: the only consumers are the down/up convs, which the
+    # down map's ChildSumMap partition serves completely (fwd + bwd, both
+    # directions — ops/onehot_conv.py) — no pooling layer reads these.
     for l in range(NUM_LEVELS - 1):
         maps[f"down{l}"] = MapSpec(
             l, l + 1, ConvKind(kernel_size=2, stride=2), companion=f"up{l + 1}",
+            keep_flat=False,
         )
     for l in range(1, NUM_LEVELS):
         maps[f"up{l}"] = MapSpec(
             l, l - 1, ConvKind(kernel_size=2, stride=2, transpose=True),
-            companion=f"down{l - 1}",
+            companion=f"down{l - 1}", keep_flat=False,
         )
     return GraphSpec(num_levels=NUM_LEVELS, maps=maps, d=d)
 

@@ -645,17 +645,46 @@ def _cs_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
                                meta.ov_seg)
 
 
+def _cs_scatter_impl(x, w, parent, kslot, cap_out):
+    """Scatter fallback for the child-sum direction: exact over the full
+    (parent, kslot) partition, no window machinery. Serves CPU/tests, maps
+    without a window annotation (tile == 0), and VMEM-overflow rejections.
+    P[i] = x[i] @ W[kslot[i]] via K masked matmuls; guard rows (kslot == K)
+    never match a slot, so they contribute zero and their parent (cap_out)
+    lands in the dropped scatter row."""
+    x32 = x.astype(jnp.float32)
+    p = jnp.zeros((x.shape[0], w.shape[2]), jnp.float32)
+    for j in range(w.shape[0]):
+        xj = jnp.where((kslot == j)[:, None], x32, 0.0)
+        p = p + jnp.dot(xj, w[j].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    scatter_to = jnp.minimum(parent, cap_out)
+    out = jnp.zeros((cap_out + 1, w.shape[2]), jnp.float32)
+    return out.at[scatter_to].add(p, mode="drop")[:cap_out]
+
+
+def _cs_apply(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off, cap_out,
+              meta: CSMeta):
+    """Child-sum direction (fine rows -> coarse sums): windowed kernel when
+    annotated (meta.tile > 0), scatter fallback otherwise. Used by the down
+    conv forward AND the transpose (up) conv backward dX."""
+    if meta.tile > 0:
+        return _cs_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out,
+                            ov_off, cap_out, meta)
+    return _cs_scatter_impl(x, w, parent, kslot, cap_out)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _cs_core(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off, cap_out,
              meta):
-    return _cs_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
-                        cap_out, meta).astype(x.dtype)
+    return _cs_apply(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
+                     cap_out, meta).astype(x.dtype)
 
 
 def _cs_fwd(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off, cap_out,
             meta):
-    out = _cs_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
-                       cap_out, meta).astype(x.dtype)
+    out = _cs_apply(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
+                    cap_out, meta).astype(x.dtype)
     return out, (x, w, parent, kslot)
 
 
@@ -691,37 +720,127 @@ def _cs_bwd(cap_out, meta: CSMeta, res, g_out):
 _cs_core.defvjp(_cs_fwd, _cs_bwd)
 
 
-def child_sum_conv(x, w, csmap, bias=None, interpret=None):
-    """Apply a strided (down) conv through a window-annotated ChildSumMap.
-
-    Returns None when the map has no annotation, shapes do not divide, or
-    the VMEM footprint is out of budget — the caller falls back to the
-    flat gather path (which also serves CPU/tests)."""
+def _cs_route(csmap, c_out, cap_in, interpret):
+    """Pick the child-sum execution path: (tile, win, c_pad, interpret) with
+    tile == 0 meaning the scatter fallback. Never refuses: the (parent,
+    kslot) partition alone is a complete representation of the map."""
     tile, winw = int(getattr(csmap, "tile", 0)), int(getattr(csmap, "win", 0))
-    if tile <= 0 or csmap.wstart.size == 0:
-        return None
-    if interpret is None:
-        if jax.default_backend() != "tpu":
-            return None
-        if not _tpu_kernels_ok():
-            return None
-        interpret = False
-    cap_out = csmap.out_capacity
-    c_out = w.shape[2]
-    n_cols = csmap.num_slots
-    if cap_out % tile or x.shape[0] < winw:
-        return None
     c_pad = (-c_out) % 128
     c_run = c_out + c_pad
-    if _csum_vmem_estimate(tile, winw, c_run) > VMEM_BUDGET:
-        return None
-    meta = CSMeta(n_cols, int(csmap.ov_seg), tile, winw, interpret)
+    use_kernel = tile > 0 and csmap.wstart.size > 0
+    if use_kernel and interpret is None:
+        if jax.default_backend() != "tpu" or not _tpu_kernels_ok():
+            use_kernel = False
+        else:
+            interpret = False
+    if use_kernel and (csmap.out_capacity % tile or cap_in < winw):
+        use_kernel = False
+    if use_kernel and _csum_vmem_estimate(tile, winw, c_run) > VMEM_BUDGET:
+        use_kernel = False
+    if not use_kernel:
+        tile = winw = 0
+        c_pad = 0
+    return tile, winw, c_pad, bool(interpret)
+
+
+def child_sum_conv(x, w, csmap, bias=None, interpret=None):
+    """Apply a strided (down) conv through a ChildSumMap.
+
+    Routes to the windowed selector kernel when the map carries a (tile,
+    win) annotation and the VMEM budget allows; otherwise the scatter
+    fallback (CPU/tests, unannotated maps). Always returns an array — the
+    (parent, kslot) partition needs no flat-table fallback."""
+    tile, winw, c_pad, interpret = _cs_route(csmap, w.shape[2], x.shape[0],
+                                             interpret)
+    cap_out = csmap.out_capacity
+    meta = CSMeta(csmap.num_slots, int(csmap.ov_seg), tile, winw, interpret)
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad))) if c_pad else w
     out = _cs_core(x, wp, csmap.wstart, csmap.parent,
                    csmap.kslot, csmap.ov_in, csmap.ov_out, csmap.ov_off,
                    cap_out, meta)
     if c_pad:
-        out = out[:, :c_out]
+        out = out[:, : w.shape[2]]
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+# ---- transpose (up) conv through the companion down map's ChildSumMap ------
+#
+# The up map is the exact transpose of its companion down map: offsets
+# negate elementwise (sparse/graph_host.py:_map_offsets returns
+# -region_offsets in the SAME order for transpose maps), so the down
+# partition's (parent, kslot) arrays serve the up conv directly:
+#
+#   up fwd:   out_fine[o]  = x_coarse[parent[o]] @ W[kslot[o]]
+#   up bwd:   dX_coarse    = child-sum of g_fine with W^T (same windows)
+#             dW[k]        = sum_{o: kslot[o]==k} x_coarse[parent[o]]^T g[o]
+#
+# This removes the up maps' flat tables (and their 8-probe host builds)
+# entirely — replaces the reference's MinkowskiConvolutionTranspose consumed
+# at models/modules/common.py:179-236.
+
+
+def _tcs_fwd_impl(x, w, parent, kslot, cap_out):
+    from languagegroundedsemseg_tpu.ops.spconv import _parent_fwd_impl
+
+    pclip = jnp.clip(parent, 0, x.shape[0] - 1)
+    return _parent_fwd_impl(x, w, pclip, kslot)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _tcs_core(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off, cap_out,
+              meta):
+    return _tcs_fwd_impl(x, w, parent, kslot, cap_out).astype(x.dtype)
+
+
+def _tcs_fwd(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off, cap_out,
+             meta):
+    out = _tcs_fwd_impl(x, w, parent, kslot, cap_out).astype(x.dtype)
+    return out, (x, w, wstart, parent, kslot, ov_in, ov_out, ov_off)
+
+
+def _tcs_bwd(cap_out, meta: CSMeta, res, g_out):
+    """dX through the child-sum direction (windowed kernel when annotated);
+    dW as K masked contractions against x gathered at parent — gather-only,
+    mirroring _cs_bwd with x and g roles swapped."""
+    x, w, wstart, parent, kslot, ov_in, ov_out, ov_off = res
+    g32 = g_out.astype(jnp.float32)
+    c_in = x.shape[1]
+    ci_pad = (-c_in) % 128 if meta.tile > 0 else 0
+    wt = jnp.swapaxes(w.astype(jnp.float32), 1, 2)  # (K, c_out, c_in)
+    if ci_pad:
+        wt = jnp.pad(wt, ((0, 0), (0, 0), (0, ci_pad)))
+    dx = _cs_apply(g32, wt, wstart, parent, kslot, ov_in, ov_out, ov_off,
+                   cap_out, meta)
+    if ci_pad:
+        dx = dx[:, :c_in]
+    pclip = jnp.clip(parent, 0, x.shape[0] - 1)
+    xp = jnp.take(x, pclip, axis=0).astype(jnp.float32)
+    dws = []
+    for k in range(meta.n_slots):
+        xk = jnp.where((kslot == k)[:, None], xp, 0.0)
+        dws.append(lax.dot_general(
+            xk, g32, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    dw = jnp.stack(dws)
+    return (dx.astype(x.dtype), dw.astype(w.dtype)) + (None,) * 6
+
+
+_tcs_core.defvjp(_tcs_fwd, _tcs_bwd)
+
+
+def transpose_child_sum_conv(x, w, csmap, bias=None, interpret=None):
+    """Apply a k2s2 transpose (up) conv through the companion DOWN map's
+    ChildSumMap. x: (coarse cap, Cin); returns (fine cap, Cout) where fine
+    cap == csmap.in_capacity. The backward's dX channel width is Cin, so
+    routing checks the kernel budget at Cin."""
+    tile, winw, _, interpret = _cs_route(csmap, w.shape[1],
+                                         int(csmap.in_capacity), interpret)
+    meta = CSMeta(csmap.num_slots, int(csmap.ov_seg), tile, winw, interpret)
+    out = _tcs_core(x, w, csmap.wstart, csmap.parent, csmap.kslot,
+                    csmap.ov_in, csmap.ov_out, csmap.ov_off,
+                    csmap.out_capacity, meta)
     if bias is not None:
         out = out + bias
     return out

@@ -50,12 +50,30 @@ def stack_batches(batches):
         # padding with guard rows — a semantic no-op — instead of dropping
         # the fused path on every shard.
         from languagegroundedsemseg_tpu.sparse.graph_host import (
+            pad_cs_overflow_to,
             pad_ms_overflow_to,
         )
-        from languagegroundedsemseg_tpu.sparse.types import MaskedShiftMap
+        from languagegroundedsemseg_tpu.sparse.types import (
+            ChildSumMap,
+            MaskedShiftMap,
+        )
 
         for n in keep:
             ms = [g.gmaps[n] for g in graphs]
+            if all(isinstance(m, ChildSumMap) for m in ms):
+                if len({(m.num_slots, m.tile, m.win, m.out_capacity_s,
+                         m.in_capacity) for m in ms}) != 1:
+                    continue
+                if len({_sig(m) for m in ms}) == 1:
+                    continue
+                seg = max(int(m.ov_seg) for m in ms)
+                na = max(
+                    max(m.ov_in.shape[0] for m in ms),
+                    max(int(m.ov_off[-1]) for m in ms) + seg,
+                ) if any(m.ov_in.shape[0] for m in ms) else 0
+                for g, m in zip(graphs, ms):
+                    g.gmaps[n] = pad_cs_overflow_to(m, seg, na)
+                continue
             if not all(isinstance(m, MaskedShiftMap) for m in ms):
                 continue
             if len({(m.cols, m.mirror_perm, m.tile, m.win) for m in ms}) != 1:

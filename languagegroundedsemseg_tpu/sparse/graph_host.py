@@ -539,6 +539,8 @@ def expand_sentinels(
         if in_info is None and out_info is None:
             continue
         idx = maps_idx[name]
+        if idx.shape[1] == 1 and capacities[ms.level_out] > 1:
+            continue  # build-time dummy (native up-map skip): nothing to remap
         n_out_old = old_nums[ms.level_out]
         if remap_map_native is not None:
             n_in_old = old_nums[ms.level_in]
@@ -950,8 +952,10 @@ def _try_child_sum_map(idx: np.ndarray, cap_in: int,
             wstart = ws.astype(np.int32)
             tile, win = t_, w_
             break
-    if tile == 0:
-        return None
+    # tile == 0 (no window config fits) still returns a map: the (parent,
+    # kslot) partition alone is complete — the conv runs the scatter
+    # fallback (ops/onehot_conv.py:_cs_scatter_impl) and the backward is
+    # gather-only either way, so the flat table stays droppable.
     ov_in, ov_out, ov_off, ov_seg = _pack_ov(
         ov_entries, k, ov_cap, cap_out, guard_in=cap_in, guard_out=cap_out)
     return ChildSumMap(
@@ -1025,6 +1029,8 @@ def finalize_graph(
                     if ms.level_out != l:
                         continue
                     idx = maps_idx[name]
+                    if idx.shape[1] == 1:
+                        continue  # build-time dummy: stays 1-wide
                     if new_cap < idx.shape[1]:
                         # view, not copy: every downstream consumer either
                         # rewrites (expand_sentinels) or re-packs the table
@@ -1062,7 +1068,11 @@ def finalize_graph(
     )
 
     maps, gmaps = {}, {}
-    for name, ms in spec.maps.items():
+    # Transpose maps run in a second pass so their companion (down) map's
+    # ChildSumMap already exists: a transpose map fully served by it needs
+    # no fusion of its own (models/layers.py routes through the companion).
+    ordered = sorted(spec.maps.items(), key=lambda kv: kv[1].kind.transpose)
+    for name, ms in ordered:
         idx = maps_idx[name]
         offs = _map_offsets(ms, spec)
         ks_scalar = ms.kind.kernel_size if isinstance(ms.kind.kernel_size, int) else max(ms.kind.kernel_size)
@@ -1079,11 +1089,16 @@ def finalize_graph(
                 center = int(zero_rows[0])
             mirror = _mirror_permutation(offs)
         maps[name] = KernelMap(
-            idx=idx, center_slot=center, mirror_perm=mirror, companion=ms.companion
+            idx=idx, center_slot=center, mirror_perm=mirror,
+            companion=ms.companion, droppable=not ms.keep_flat,
         )
+        if idx.shape[1] == 1 and capacities[ms.level_out] > 1:
+            continue  # dummied at build time (native up-map skip): no fusion
 
         if fuse and ks_scalar > 1:
             if ms.kind.transpose:
+                if isinstance(gmaps.get(ms.companion), ChildSumMap):
+                    continue  # served through the companion's partition
                 pm = _try_parent_map(idx)
                 if pm is not None:
                     gmaps[name] = dataclasses_replace_pm(pm, ms.companion)
@@ -1184,6 +1199,22 @@ def pad_ms_overflow_to(m: "MaskedShiftMap", ov_seg: int, n_ov: int,
         ov_seg=int(ov_seg), dwov_seg=int(dwov_seg))
 
 
+def pad_cs_overflow_to(m: "ChildSumMap", ov_seg: int, n_ov: int) -> "ChildSumMap":
+    """Pad a ChildSumMap's overflow COO arrays to shared static bounds
+    (cross-shard harmonization, parallel/dp.py). Guard entries (in =
+    in_capacity, out = out_capacity) are semantic no-ops."""
+
+    def pad(a, n, guard):
+        if a.shape[0] >= n:
+            return a
+        return np.concatenate([a, np.full(n - a.shape[0], guard, a.dtype)])
+
+    return m.replace(
+        ov_in=pad(m.ov_in, n_ov, m.in_capacity),
+        ov_out=pad(m.ov_out, n_ov, m.out_capacity_s),
+        ov_seg=int(ov_seg))
+
+
 def drop_covered_flat_maps(graph: ConvGraph) -> ConvGraph:
     """Return a graph whose flat tables are dummied wherever a fused map
     covers them (same rule as the build-time drop). Multi-device builds
@@ -1207,18 +1238,32 @@ def _drop_redundant_flat_maps(maps: dict, gmaps: dict, droppable=None) -> None:
     model-zoo head)."""
     from languagegroundedsemseg_tpu.ops import onehot_conv as _oh
 
-    for name, gm in gmaps.items():
+    for name in maps:
+        gm = gmaps.get(name)
+        can_drop = maps[name].droppable or (
+            droppable is not None and name in droppable)
         if isinstance(gm, ParentMap):
             served = True
+        elif isinstance(gm, ChildSumMap):
+            # child-sum serves fwd (kernel or scatter fallback) and a
+            # gather-only backward from (parent, kslot) alone — but only
+            # conv consumers; pooling layers read the flat idx, so the
+            # spec must opt in via keep_flat=False
+            served = can_drop
         elif isinstance(gm, MaskedShiftMap):
             # masked-shift serves fwd+bwd itself, but wide-channel consumers
             # run the selector kernel — droppable once window-annotated
-            served = (droppable is not None and name in droppable) or (
+            served = can_drop or (
                 gm.tile > 0
                 and _oh._vmem_estimate(
                     gm.anchors.shape[0], gm.tile, gm.win, 512)
                 <= _oh.VMEM_BUDGET
             )
+        elif gm is None and maps[name].companion:
+            # transpose maps fully served by the companion down map's
+            # ChildSumMap (models/layers.py routes through it)
+            served = can_drop and isinstance(
+                gmaps.get(maps[name].companion), ChildSumMap)
         else:
             served = False
         if served and maps[name].idx.shape[1] > 1:
@@ -1228,4 +1273,5 @@ def _drop_redundant_flat_maps(maps: dict, gmaps: dict, droppable=None) -> None:
                 center_slot=old.center_slot,
                 mirror_perm=old.mirror_perm,
                 companion=old.companion,
+                droppable=old.droppable,
             )

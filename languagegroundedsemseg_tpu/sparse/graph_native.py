@@ -99,6 +99,22 @@ def native_available() -> bool:
     return get_lib() is not None
 
 
+def _up_map_skippable(spec, ms, fuse, fuse_grouped, drop_redundant) -> bool:
+    """True when a transpose map's flat table would be dropped as redundant
+    anyway: its companion is a strided non-transpose map in the spec, whose
+    ChildSumMap partition serves the up conv (fwd + bwd) completely. Only
+    in drop_redundant mode — pinned (multi-device) builds keep every flat
+    so the cross-shard harmonization can fall back per map."""
+    if not (fuse and fuse_grouped and drop_redundant and ms.kind.transpose
+            and not ms.keep_flat):
+        return False
+    comp = spec.maps.get(ms.companion) if ms.companion else None
+    return (comp is not None and not comp.kind.transpose
+            and comp.kind.stride > 1
+            and comp.level_in == ms.level_out
+            and comp.level_out == ms.level_in)
+
+
 def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
@@ -142,6 +158,13 @@ def build_graph_native(
     for name, ms in spec.maps.items():
         offs = np.ascontiguousarray(gh._map_offsets(ms, spec), dtype=np.int32)
         k = offs.shape[0]
+        if _up_map_skippable(spec, ms, fuse, fuse_grouped, drop_redundant):
+            # transpose maps fully served by the companion down map's
+            # ChildSumMap partition (models/layers.py): skip the k probes
+            # per fine row AND the (k, cap) table entirely — the finalize
+            # pass recognizes the 1-wide dummy.
+            maps_idx[name] = np.full((k, 1), -1, dtype=np.int32)
+            continue
         cap_out = capacities[ms.level_out]
         idx = np.empty((k, cap_out), dtype=np.int32)
         rc = lib.lgs_kernel_map(

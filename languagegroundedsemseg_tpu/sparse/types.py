@@ -77,6 +77,11 @@ class KernelMap:
     # Name of the companion (transpose) map in the graph, for down/up conv
     # pairs whose backward uses the partner's map. None -> scatter fallback.
     companion: Optional[str] = struct.field(pytree_node=False, default=None)
+    # From MapSpec.keep_flat (inverted): True when the spec declares no
+    # consumer needs the flat table once a fused map serves the conv path
+    # (pooling layers, e.g. models/resnet.py sum-pool, read the flat idx
+    # directly and so pin keep_flat=True, the default).
+    droppable: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_offsets(self) -> int:

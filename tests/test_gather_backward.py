@@ -59,11 +59,21 @@ def test_mirror_backward_matches_scatter():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
 
+def _parent_map_of(g, name="up1"):
+    # finalize no longer creates ParentMap gmaps for ups served through the
+    # companion ChildSumMap (models/layers.py); derive one from the flat
+    # table to exercise the op in isolation.
+    from languagegroundedsemseg_tpu.sparse.graph_host import _try_parent_map
+
+    pm = _try_parent_map(np.asarray(g.maps[name].idx))
+    assert isinstance(pm, ParentMap)
+    return pm
+
+
 def test_down_conv_parent_backward_matches_scatter():
     rng, g = _setup(1)
     km = g.maps["down0"]
-    pm = g.gmaps["up1"]
-    assert isinstance(pm, ParentMap)
+    pm = _parent_map_of(g)
     cin, cout = 5, 7
     cap_in = g.levels[0].capacity
     cap_out = g.levels[1].capacity
@@ -87,7 +97,7 @@ def test_down_conv_parent_backward_matches_scatter():
 
 def test_up_conv_idx_backward_matches_scatter():
     rng, g = _setup(2)
-    pm = g.gmaps["up1"]
+    pm = _parent_map_of(g)
     km_up = g.maps["up1"]
     km_down = g.maps["down0"]
     cin, cout = 5, 4

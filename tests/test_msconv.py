@@ -41,10 +41,12 @@ def test_masked_shift_map_structure():
     g = _graph(coords)
     m = g.gmaps.get("k3")
     assert isinstance(m, MaskedShiftMap)
-    assert isinstance(g.gmaps.get("up1"), ParentMap)
     from languagegroundedsemseg_tpu.sparse.types import ChildSumMap
-    # k2s2 down now carries a selector-kernel window annotation
+    # k2s2 down now carries a selector-kernel window annotation; the up
+    # conv routes through this partition too (no ParentMap gmap of its own,
+    # models/layers.py + ops/onehot_conv.py:transpose_child_sum_conv)
     assert isinstance(g.gmaps.get("down0"), ChildSumMap)
+    assert "up1" not in g.gmaps
     # 9 columns, center first; every slot exactly once
     assert len(m.cols) == 9
     covered = sorted(k for ks in m.cols for k in ks)
@@ -192,13 +194,19 @@ def test_ov_overflow_falls_back():
 
 
 def test_parent_conv_matches_flat():
+    # up gmaps are no longer built (the companion ChildSumMap serves ups,
+    # tests/test_transpose_cs.py); derive a ParentMap from the flat table
+    # to keep the op itself covered
+    from languagegroundedsemseg_tpu.sparse.graph_host import _try_parent_map
+
     rng, coords = _sorted_cloud(12)
     g = _graph(coords)
     cin, cout = 6, 4
     x = jnp.asarray(rng.normal(size=(g.levels[1].capacity, cin)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32))
     flat = sparse_conv(x, w, g.maps["up1"].idx)
-    fused = sparse_conv_parent(x, w, g.gmaps["up1"])
+    pm = _try_parent_map(np.asarray(g.maps["up1"].idx))
+    fused = sparse_conv_parent(x, w, pm)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(flat), rtol=1e-4, atol=1e-4)
 
 

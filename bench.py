@@ -35,6 +35,9 @@ def _sync(x):
 def main():
     import jax
 
+    from languagegroundedsemseg_tpu.utils.host_alloc import tune
+
+    tune()  # stabilizes per-batch graph-build time (utils/host_alloc.py)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -57,7 +60,17 @@ def main():
     scenes = [_voxelize_scene(rng, 180_000) for _ in range(4)]
     t_build0 = time.perf_counter()
     batch = builder.build(scenes)
-    host_build_s = time.perf_counter() - t_build0
+    host_build_cold_s = time.perf_counter() - t_build0
+    # Warm (steady-state) build: the cold build pays one-time costs — page
+    # faults on fresh allocator arenas, flex-capacity settling — that a
+    # long-running loader never sees again. The warm number is the one that
+    # bounds e2e throughput (one host core: e2e = max(device, warm build)).
+    warm_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        batch = builder.build(scenes)
+        warm_times.append(time.perf_counter() - t0)
+    host_build_warm_s = min(warm_times)
     n_valid = int(np.asarray(batch.graph.levels[0].valid).sum())
 
     model = Res16UNet34C(out_channels=200)
@@ -142,7 +155,7 @@ def main():
     # Two producer threads, as the real loader's num_workers: the numpy
     # build of one batch overlaps the H2D transfer of the other (device_put
     # releases the GIL during the tunnel I/O).
-    e2e_steps = 4
+    e2e_steps = 6
     n_workers = 2
     q: "queue.Queue" = queue.Queue(maxsize=2)
     ths = [
@@ -179,7 +192,8 @@ def main():
                 "train_vs_baseline": round(train_vps / TRAIN_BASELINE, 3),
                 "e2e_scenes_per_sec": round(scenes_per_sec, 3),
                 "e2e_vs_baseline": round(scenes_per_sec / e2e_baseline, 3),
-                "host_graph_build_s": round(host_build_s, 2),
+                "host_graph_build_s": round(host_build_warm_s, 2),
+                "host_graph_build_cold_s": round(host_build_cold_s, 2),
                 "n_voxels": n_valid,
             }
         )

@@ -13,9 +13,11 @@ import os
 import sys
 
 from languagegroundedsemseg_tpu.config import get_config
+from languagegroundedsemseg_tpu.utils.host_alloc import tune as _tune_host_alloc
 
 
 def main(argv=None):
+    _tune_host_alloc()
     config = get_config(argv)
     logging.basicConfig(
         level=logging.INFO,

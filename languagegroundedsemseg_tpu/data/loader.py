@@ -107,6 +107,12 @@ class DataLoader:
         ignore_index: int = 255,
         extras_fn=None,
     ):
+        # Graph builds churn large numpy scratch every batch; tune the host
+        # allocator once per process (utils/host_alloc.py — big, measured
+        # win on lazily-backed VM memory; no-op where unsupported).
+        from languagegroundedsemseg_tpu.utils.host_alloc import tune
+
+        tune()
         self.dataset = dataset
         self.builder = builder
         self.batch_size = batch_size

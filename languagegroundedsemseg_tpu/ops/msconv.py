@@ -291,6 +291,19 @@ def _ms_bwd(meta: MSMeta, res, g_out):
 _ms_core.defvjp(_ms_fwd, _ms_bwd)
 
 
+def _abs_anchors(anchors):
+    """Decode delta-shipped anchors. Production builds ship anchors as
+    int16 row deltas (|anchor - out| <= GWIN_MARGIN after routing, with
+    -32768 as the guard; sparse/graph_host.py) — expand back to absolute
+    int32 row ids on device. int32 anchors pass through unchanged."""
+    if anchors.dtype != jnp.int16:
+        return anchors
+    cap = anchors.shape[-1]
+    rows = jnp.arange(cap, dtype=jnp.int32)
+    a = rows + anchors.astype(jnp.int32)
+    return jnp.where(anchors == jnp.int16(-32768), cap, a)
+
+
 def masked_shift_conv(x, w, msmap, bias=None):
     """Apply a stride-1 k3 sparse conv through a MaskedShiftMap.
 
@@ -307,7 +320,7 @@ def masked_shift_conv(x, w, msmap, bias=None):
     meta = MSMeta(tuple(msmap.cols), tuple(msmap.mirror_perm),
                   int(msmap.ov_seg))
     out = _ms_core(
-        x, w, msmap.mp, msmap.mn, msmap.mc, msmap.anchors,
+        x, w, msmap.mp, msmap.mn, msmap.mc, _abs_anchors(msmap.anchors),
         msmap.ov_in, msmap.ov_out, msmap.ov_off, meta,
     )
     out = out.astype(jnp.float32)

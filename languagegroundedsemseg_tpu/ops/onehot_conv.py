@@ -437,9 +437,44 @@ def _oh_fwd(x, w, mp, mn, mc, anchors, wstart, inv_anchors, inv_wstart,
                  ov_in, ov_out, ov_off, dwov_in, dwov_out, dwov_off)
 
 
+def _entry_cols(off, n):
+    """Column id per packed-COO entry from the per-column offsets (entry j
+    lives in column c iff off[c] <= j < off[c+1]; end-padding entries map
+    past the last column and get dropped by the scatters' mode="drop")."""
+    j = jnp.arange(n, dtype=jnp.int32)
+    return jnp.sum(j[:, None] >= off[None, 1:], axis=1).astype(jnp.int32)
+
+
+def _inv_from_anchors(anchors, ov_in, ov_out, ov_off, dwov_in, dwov_off):
+    """Rebuild the dW inverse tiling on device. Production builds ship a
+    0-width inv_anchors (sparse/graph_host.py — it is a pure function of
+    (anchors, ov, dwov), and dropping it saves ~30% of the batch's H2D
+    bytes): pre-routing anchors = final anchors with the ov entries
+    restored; the inverse is its per-column scatter (injective per column
+    over the complete pair set); dwov positions are re-guarded exactly as
+    the host's _route_bad did."""
+    n_cols, cap = anchors.shape
+    a_full = anchors
+    if ov_in.shape[0]:
+        ci = _entry_cols(ov_off, ov_in.shape[0])
+        a_full = a_full.at[ci, ov_out].set(ov_in, mode="drop")
+    rows = jnp.arange(n_cols, dtype=jnp.int32)[:, None]
+    o = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32)[None, :],
+                         (n_cols, cap))
+    inv = jnp.full((n_cols, cap), cap, jnp.int32)
+    inv = inv.at[rows, a_full].set(o, mode="drop")
+    if dwov_in.shape[0]:
+        cj = _entry_cols(dwov_off, dwov_in.shape[0])
+        inv = inv.at[cj, dwov_in].set(cap, mode="drop")
+    return inv
+
+
 def _oh_bwd(meta: OHMeta, res, g_out):
     (x, w, mp, mn, mc, anchors, wstart, inv_anchors, inv_wstart,
      ov_in, ov_out, ov_off, dwov_in, dwov_out, dwov_off) = res
+    if inv_anchors.shape[1] == 0:
+        inv_anchors = _inv_from_anchors(anchors, ov_in, ov_out, ov_off,
+                                        dwov_in, dwov_off)
     g32 = g_out.astype(jnp.float32)
     wt = _mirror_w(w, _ms_meta(meta))
     # dX: same pair structure with mirrored transposed weights (exact for
@@ -499,10 +534,12 @@ def onehot_window_conv(x, w, msmap, bias=None, interpret=None):
     meta = OHMeta(tuple(msmap.cols), tuple(msmap.mirror_perm),
                   int(msmap.ov_seg), int(msmap.dwov_seg), tile, winw,
                   interpret)
+    from languagegroundedsemseg_tpu.ops.msconv import _abs_anchors
+
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad))) if c_pad else w
     out = _oh_core(
-        x, wp, msmap.mp, msmap.mn, msmap.mc, msmap.anchors, msmap.wstart,
-        msmap.inv_anchors, msmap.inv_wstart,
+        x, wp, msmap.mp, msmap.mn, msmap.mc, _abs_anchors(msmap.anchors),
+        msmap.wstart, msmap.inv_anchors, msmap.inv_wstart,
         msmap.ov_in, msmap.ov_out, msmap.ov_off,
         msmap.dwov_in, msmap.dwov_out, msmap.dwov_off, meta,
     )

@@ -859,6 +859,23 @@ def _try_masked_shift_map(
     dwov_out, dwov_in, dwov_off, dwov_seg = _pack_ov(
         dwov_entries, n_cols, ov_cap, cap)
 
+    if not validate:
+        # Production builds ship a 0-width inv_anchors: it is a pure
+        # function of (anchors, ov, dwov) and the device rebuilds it with
+        # two scatters (ops/onehot_conv.py:_inv_from_anchors). At bench
+        # shapes this drops ~30% of the batch's H2D bytes — material when
+        # the host<->device link is the e2e bottleneck. validate=True
+        # (tests/debug) keeps the host-built array so invariant tests can
+        # inspect it.
+        inv_anchors = np.zeros((n_cols, 0), np.int32)
+        # ... and anchors as int16 row deltas: every kept anchor satisfies
+        # |anchor - out| <= GWIN_MARGIN (= 16384, ops/msconv.py — the rest
+        # was routed to the ov COO above), so the delta fits int16 with
+        # -32768 reserved for the guard. Decoded on device at op entry
+        # (ops/msconv.py:_abs_anchors). Halves the anchors' H2D bytes.
+        delta = anchors.astype(np.int64) - np.arange(cap, dtype=np.int64)
+        anchors = np.where(anchors == cap, -32768, delta).astype(np.int16)
+
     return MaskedShiftMap(
         # {0,1} masks ship (and stream on device) as uint8; every consumer
         # casts into the compute dtype (ops/msconv.py _t3)
@@ -886,7 +903,7 @@ def _try_parent_map(idx: np.ndarray) -> Optional[ParentMap]:
     valid = idx >= 0
     if valid.sum(axis=0).max(initial=0) > 1:
         return None
-    kslot = np.where(valid.any(axis=0), valid.argmax(axis=0), k).astype(np.int32)
+    kslot = np.where(valid.any(axis=0), valid.argmax(axis=0), k).astype(np.uint8)
     parent = np.take_along_axis(idx, np.minimum(kslot, k - 1)[None, :], axis=0)[0]
     parent = np.maximum(parent, 0).astype(np.int32)
     return ParentMap(parent=parent, kslot=kslot, num_slots=k)
@@ -914,7 +931,9 @@ def _try_child_sum_map(idx: np.ndarray, cap_in: int,
     if len(ins) != len(np.unique(ins)):
         return None
     parent = np.full(cap_in, cap_out, np.int32)
-    kslot = np.full(cap_in, k, np.int32)
+    # slot ids are tiny (k <= 27 incl. the guard k): uint8 quarters the
+    # shipped bytes; every device consumer only compares or masks on it
+    kslot = np.full(cap_in, k, np.uint8)
     outs_grid = np.broadcast_to(np.arange(cap_out, dtype=np.int32), idx.shape)
     slots_grid = np.broadcast_to(
         np.arange(k, dtype=np.int32)[:, None], idx.shape)
@@ -1050,12 +1069,24 @@ def finalize_graph(
             int(si["is_sent"].sum()) if si is not None else 0 for si in sent_info
         ]
 
+    def _ship_coords(c):
+        # Production builds ship coords int16 when the range fits (room-
+        # scale scenes at cm voxels stay well inside +-32767): on-device
+        # consumers only read the batch column (segment ids) or cast
+        # (models/crf.py); host consumers are numpy. Halves the coords'
+        # share of the batch H2D bytes.
+        if (not validate and c.size
+                and -32768 <= c.min() and c.max() <= 32767):
+            return c.astype(np.int16)
+        return c
+
     # valid is always materialized (even when it is just the prefix mask) so
     # the batch pytree structure is identical whether or not a level was
     # sentinel-expanded — device stacking and jit caching rely on that.
     levels = tuple(
         SparseLevel(
-            coords=_pad_rows(kept_coords[l][: nums[l]], capacities[l], 0),
+            coords=_ship_coords(
+                _pad_rows(kept_coords[l][: nums[l]], capacities[l], 0)),
             num=np.int32(nums[l]),
             stride=1 << l,
             valid=(

@@ -119,6 +119,56 @@ def test_onehot_grads_match_flat():
     assert np.abs(np.asarray(gw2) - np.asarray(gw1)).max() / sw < 3e-2
 
 
+def test_device_inv_rebuild_matches_host():
+    """Production builds ship a 0-width inv_anchors; the device rebuild
+    (_inv_from_anchors) must reproduce the host-built array exactly, and
+    grads through a stripped map must match the flat oracle."""
+    from languagegroundedsemseg_tpu.ops.msconv import _abs_anchors
+    from languagegroundedsemseg_tpu.ops.onehot_conv import _inv_from_anchors
+
+    rng = np.random.default_rng(9)
+    coords = make_cloud(rng, n=3000, extent=40)
+    coords = coords[np.argsort(pack_keys(coords), kind="stable")]
+    spec = GraphSpec(num_levels=1, maps={"k3": MapSpec(0, 0, ConvKind(3), fuse_width=3)})
+    g_dbg = build_graph(coords, spec, (CAP,), drop_redundant=False)
+    g_prod = build_graph(coords, spec, (CAP,), drop_redundant=False,
+                         validate=False)
+    m_dbg, m = g_dbg.gmaps["k3"], g_prod.gmaps["k3"]
+    assert m_dbg.inv_anchors.shape[1] == CAP
+    assert m.inv_anchors.shape[1] == 0
+    assert m.anchors.dtype == np.int16  # production delta encoding
+    rebuilt = _inv_from_anchors(
+        _abs_anchors(jnp.asarray(m.anchors)),
+        jnp.asarray(m.ov_in), jnp.asarray(m.ov_out),
+        jnp.asarray(m.ov_off), jnp.asarray(m.dwov_in),
+        jnp.asarray(m.dwov_off))
+    np.testing.assert_array_equal(np.asarray(rebuilt),
+                                  np.asarray(m_dbg.inv_anchors))
+
+    km = g_prod.maps["k3"]
+    cin, cout = 12, 8
+    n = int(g_prod.levels[0].num)
+    x = np.zeros((CAP, cin), np.float32)
+    x[:n] = rng.normal(size=(n, cin))
+    x = jnp.asarray(x)
+    w = jnp.asarray((rng.normal(size=(27, cin, cout)) * 0.1).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(CAP, cout)).astype(np.float32))
+
+    def loss_flat(x, w):
+        return (sparse_conv(x, w, km.idx, center_slot=km.center_slot,
+                            mirror_perm=km.mirror_perm) * ct).sum()
+
+    def loss_fused(x, w):
+        return (onehot_window_conv(x, w, m, interpret=True) * ct).sum()
+
+    gx1, gw1 = jax.grad(loss_flat, (0, 1))(x, w)
+    gx2, gw2 = jax.grad(loss_fused, (0, 1))(x, w)
+    sx = np.abs(np.asarray(gx1)[:n]).max() + 1e-9
+    sw = np.abs(np.asarray(gw1)).max() + 1e-9
+    assert np.abs(np.asarray(gx2)[:n] - np.asarray(gx1)[:n]).max() / sx < 3e-2
+    assert np.abs(np.asarray(gw2) - np.asarray(gw1)).max() / sw < 3e-2
+
+
 def test_small_caps_have_no_windows():
     rng = np.random.default_rng(3)
     coords = make_cloud(rng, n=60)

@@ -56,7 +56,10 @@ def main():
     # Flex capacities: every level sized to its real rows + sentinel demand
     # (sparse/graph_host.py:finalize_graph), so all five k3 conv stacks run
     # the fused masked-shift / one-hot paths with no truncation of reals.
-    builder = BatchBuilder(spec=res16unet_graph_spec())
+    # Production wire format: compact batches (no device-side coords,
+    # f16 feats, uint8 labels) — the tunnel H2D is the e2e bottleneck.
+    builder = BatchBuilder(spec=res16unet_graph_spec(), ship_coords=False,
+                           compact_feats=True)
     scenes = [_voxelize_scene(rng, 180_000) for _ in range(4)]
     t_build0 = time.perf_counter()
     batch = builder.build(scenes)
@@ -103,7 +106,9 @@ def main():
 
     @jax.jit
     def fwd(variables, feats, graph):
-        return model.apply(variables, feats, graph, train=False)[0]
+        # same entry cast the train step applies (TrainBatch.decompact)
+        return model.apply(
+            variables, feats.astype(jnp.float32), graph, train=False)[0]
 
     batch = jax.device_put(batch)
     feats, graph = batch.feats, batch.graph

@@ -60,6 +60,22 @@ class BatchBuilder:
     # whole level-0 conv stack to the flat path (~3x slower). Sentinel
     # demand is scene-dependent (~10-40% of rows on ScanNet-like surfaces).
     sentinel_headroom: float = 0.12
+    # H2D compaction (the host<->device link bounds e2e throughput —
+    # PERF.md round 4). ship_coords=False replaces each level's (cap, 4)
+    # coords with per-scene row boundaries (sparse/types.py:batch_starts);
+    # the device compute path only reads the batch column. Consumers that
+    # need device-side spatial coords (CRF wrappers, visualization dumps,
+    # insseg clustering readback) must keep it True — the trainer picks.
+    ship_coords: bool = True
+    # float16 feats / uint8 labels on the wire: the train/eval steps cast
+    # back at entry (train/step.py:TrainBatch.decompact). uint8 labels are
+    # lossless (requires labels <= 255 with ignore_index 255 — the
+    # reference's own convention) and default on. f16 feats quantize
+    # (~3 decimal digits — plenty for color-scale inputs) so they are
+    # opt-in: the production loader (data/loader.py) and bench enable it;
+    # oracle/parity tests keep exact f32.
+    compact_feats: bool = False
+    compact_labels: bool = True
 
     def capacities(self, cap0: int) -> Tuple[int, ...]:
         return default_capacities(cap0, self.spec.num_levels, self.level_ratios)
@@ -147,7 +163,8 @@ class BatchBuilder:
         graph = build_graph(coords, self.spec, self.capacities(cap0),
                             layout_out=glay, flex=flex, drop_redundant=flex,
                             validate=_os.environ.get(
-                                "LGS_VALIDATE_GRAPH", "0") == "1")
+                                "LGS_VALIDATE_GRAPH", "0") == "1",
+                            ship_coords=self.ship_coords)
         cap0 = graph.levels[0].valid.shape[0]  # post-flex level-0 capacity
         # Sentinel expansion (sparse/graph_host.py:expand_sentinels) may have
         # interleaved zero rows: real level-0 row i now lives at pos0[i].
@@ -168,9 +185,16 @@ class BatchBuilder:
                 graph.levels[0].capacity,
                 n_raw > cap0,
             )
-        feats_p = np.zeros((cap0, feats.shape[1]), dtype=np.float32)
+        f_dtype = np.float16 if self.compact_feats else np.float32
+        feats_p = np.zeros((cap0, feats.shape[1]), dtype=f_dtype)
         feats_p[pos0] = feats
-        labels_p = np.full((cap0,), self.ignore_index, dtype=np.int32)
+        l_dtype = (
+            np.uint8
+            if (self.compact_labels and self.ignore_index == 255
+                and labels.size and labels.min() >= 0 and labels.max() <= 255)
+            else np.int32
+        )
+        labels_p = np.full((cap0,), self.ignore_index, dtype=l_dtype)
         labels_p[pos0] = labels
         extras_p = {}
         for k, v in extra_cat.items():

@@ -284,8 +284,13 @@ def initialize_data_loader(
     limit_numpoints: int,
     num_devices: int = 1,
     spec=None,
+    ship_coords: bool = True,
 ):
-    """Reference-compatible loader factory (lib/dataset.py:337-416)."""
+    """Reference-compatible loader factory (lib/dataset.py:337-416).
+
+    ship_coords=False builds compact batches (no device-side spatial
+    coords — data/batching.py); callers that visualize, run CRF wrappers,
+    or read coords back keep the default."""
     from languagegroundedsemseg_tpu.models.res16unet import res16unet_graph_spec
 
     prevoxel, input_t = build_input_transforms(config, DatasetClass, augment_data)
@@ -303,6 +308,8 @@ def initialize_data_loader(
         limit_numpoints=limit_numpoints,
         fixed_capacity=config.fixed_capacity or None,
         level_ratios=config.level_capacity_ratios,
+        ship_coords=ship_coords,
+        compact_feats=True,
     )
     return DataLoader(
         dataset,

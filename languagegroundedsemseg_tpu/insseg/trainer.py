@@ -151,6 +151,7 @@ class InssegTrainer:
         return self.builder.build(scenes, extras)
 
     def _losses(self, variables, batch: TrainBatch, train: bool):
+        batch = batch.decompact()
         apply = lambda v: self.model.apply(
             v, batch.feats, batch.graph, train=train,
             mutable=["batch_stats"] if train else [],
@@ -195,6 +196,7 @@ class InssegTrainer:
         return new_state, parts
 
     def _eval_fn(self, state: TrainState, batch: TrainBatch):
+        batch = batch.decompact()
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         offsets, logits, _ = self.eval_model.apply(
             variables, batch.feats, batch.graph, train=False

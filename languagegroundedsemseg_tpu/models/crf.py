@@ -102,6 +102,12 @@ class Wrapper(nn.Module):
             dtype=self.dtype,
         )
         coords = lvl0.coords
+        if coords is None:
+            raise ValueError(
+                "CRF wrappers need device-side coords: build batches with "
+                "ship_coords=True (the trainer does this automatically when "
+                "wrapper_type is set)"
+            )
         # coords layout (batch, x, y, z[, t]): 4D spatio-temporal graphs
         # carry the temporal coordinate in the last column
         time = (

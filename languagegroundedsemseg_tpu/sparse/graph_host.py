@@ -1016,10 +1016,18 @@ def finalize_graph(
     layout_out: Optional[dict] = None,
     flex: bool = False,
     validate: bool = True,
+    ship_coords: bool = True,
 ) -> ConvGraph:
     """Shared back half of both graph builders (numpy and native): sentinel
     expansion, fused-map construction, and redundant-flat-map dropping over
     already-built flat kernel maps.
+
+    ship_coords=False builds a compact batch: levels carry per-scene row
+    boundaries (``batch_starts``) instead of the (cap, 4) coords array —
+    the device compute path only ever reads the batch column, and rows are
+    batch-major by construction (packed keys sort the batch id first).
+    Saves the coords' share of the batch H2D bytes; CRF wrappers and
+    device-side visualization need ship_coords=True.
 
     kept_coords / nums / maps_idx are the raw (unexpanded) per-level coords,
     valid counts, and flat (K, cap_out) index tables; they are mutated by the
@@ -1080,13 +1088,27 @@ def finalize_graph(
             return c.astype(np.int16)
         return c
 
+    def _batch_starts(l):
+        # per-scene row boundaries over the (expanded) valid prefix:
+        # rows are batch-major (packed keys sort b first) and sentinel
+        # rows inherit their left real row's coords, so the batch column
+        # is monotone over [0, num)
+        bcol = kept_coords[l][: nums[l], 0]
+        n_scenes = int(bcol[-1]) + 1 if nums[l] else 1
+        return np.searchsorted(
+            bcol, np.arange(n_scenes + 1, dtype=np.int32)
+        ).astype(np.int32)
+
     # valid is always materialized (even when it is just the prefix mask) so
     # the batch pytree structure is identical whether or not a level was
     # sentinel-expanded — device stacking and jit caching rely on that.
     levels = tuple(
         SparseLevel(
-            coords=_ship_coords(
-                _pad_rows(kept_coords[l][: nums[l]], capacities[l], 0)),
+            coords=(
+                _ship_coords(
+                    _pad_rows(kept_coords[l][: nums[l]], capacities[l], 0))
+                if ship_coords else None
+            ),
             num=np.int32(nums[l]),
             stride=1 << l,
             valid=(
@@ -1094,6 +1116,7 @@ def finalize_graph(
                 if sent_info[l] is not None
                 else (np.arange(capacities[l]) < nums[l]).astype(np.uint8)
             ),
+            batch_starts=None if ship_coords else _batch_starts(l),
         )
         for l in range(spec.num_levels)
     )
@@ -1170,6 +1193,7 @@ def build_graph(
     layout_out: Optional[dict] = None,
     flex: bool = False,
     validate: bool = True,
+    ship_coords: bool = True,
 ) -> ConvGraph:
     """Build the full ConvGraph for one batch.
 
@@ -1209,6 +1233,7 @@ def build_graph(
         spec, capacities, kept_coords, nums, maps_idx,
         fuse=fuse, fuse_grouped=fuse_grouped, drop_redundant=drop_redundant,
         layout_out=layout_out, flex=flex, validate=validate,
+        ship_coords=ship_coords,
     )
 
 def pad_ms_overflow_to(m: "MaskedShiftMap", ov_seg: int, n_ov: int,

@@ -25,7 +25,7 @@ class SparseLevel:
     stride: static int — tensor stride (1, 2, 4, ... in voxel units).
     """
 
-    coords: jnp.ndarray
+    coords: Optional[jnp.ndarray]
     num: jnp.ndarray
     stride: int = struct.field(pytree_node=False)
     # Explicit per-row validity (f32 {0,1}). When the sentinel expansion pass
@@ -33,10 +33,21 @@ class SparseLevel:
     # layout, valid rows are no longer a prefix and ``num`` counts layout
     # rows (real + sentinel); None keeps the prefix semantics.
     valid: Optional[jnp.ndarray] = None
+    # Compact-batch alternative to shipping coords (production loaders,
+    # sparse/graph_host.py:finalize_graph ship_coords=False): per-scene row
+    # starts (B + 1,) int32 over this level's padded layout. Rows are
+    # batch-major (sorted by packed key with the batch id in the top bits),
+    # so the batch column of coords is recoverable from the boundaries —
+    # the only part of coords the device compute path reads. Spatial
+    # coordinates stay host-side; consumers that need them on device (CRF
+    # wrappers, visualization dumps) require a ship_coords=True build.
+    batch_starts: Optional[jnp.ndarray] = None
 
     @property
     def capacity(self) -> int:
-        return self.coords.shape[0]
+        if self.coords is not None:
+            return self.coords.shape[0]
+        return self.valid.shape[0]
 
     def mask(self, dtype=jnp.float32) -> jnp.ndarray:
         """(capacity,) validity mask: 1 for real voxel rows, 0 for padding
@@ -52,7 +63,18 @@ class SparseLevel:
 
     @property
     def batch_idx(self) -> jnp.ndarray:
-        return self.coords[:, 0]
+        """(capacity,) int32 scene id per row. Reads coords' batch column
+        when shipped; compact batches recover it from the per-scene row
+        boundaries (padding rows map to the last scene — every consumer
+        masks them out via ``mask()``)."""
+        if self.coords is not None:
+            return self.coords[:, 0].astype(jnp.int32)
+        starts = self.batch_starts
+        rows = jnp.arange(self.capacity, dtype=jnp.int32)
+        # number of interior boundaries at or below each row = scene id
+        return jnp.sum(
+            rows[:, None] >= starts[None, 1:-1], axis=1
+        ).astype(jnp.int32)
 
 
 @struct.dataclass

@@ -91,6 +91,8 @@ def make_simsiam_train_step(model, tx, config, anchors, split_matrix=None):
     anchors_j = jnp.asarray(anchors)
 
     def step(state: TrainState, b1: TrainBatch, b2: TrainBatch, corrs1, corrs2, key):
+        b1, b2 = b1.decompact(), b2.decompact()
+
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             (z1, z2), mut = model.apply(

@@ -35,6 +35,19 @@ class TrainBatch:
     graph: ConvGraph
     extras: Dict[str, jnp.ndarray] = struct.field(default_factory=dict)
 
+    def decompact(self) -> "TrainBatch":
+        """Undo the wire compaction (data/batching.py compact_feats /
+        compact_labels): f16 feats -> f32, uint8 labels -> int32. Free
+        inside jit (XLA fuses the casts into the first consumers); every
+        step function calls it at entry so downstream code sees the
+        canonical dtypes."""
+        b = self
+        if b.feats.dtype == jnp.float16:
+            b = b.replace(feats=b.feats.astype(jnp.float32))
+        if b.labels.dtype != jnp.int32:
+            b = b.replace(labels=b.labels.astype(jnp.int32))
+        return b
+
 
 def make_train_step(
     model,
@@ -46,6 +59,7 @@ def make_train_step(
     """Build step(state, batch, key) -> (state, metrics)."""
 
     def step(state: TrainState, batch: TrainBatch, key: jax.Array):
+        batch = batch.decompact()
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         key = jax.random.fold_in(key, state.step)
@@ -100,6 +114,7 @@ def make_eval_step(
     """Build eval(state, batch) -> (logits_or_features, features)."""
 
     def step(state: TrainState, batch: TrainBatch):
+        batch = batch.decompact()
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         return model.apply(
             variables,

@@ -71,19 +71,28 @@ class Trainer:
         self.mesh = make_mesh(self.n_dev) if self.n_dev > 1 else None
         axis = "data" if self.mesh is not None else None
 
-        # Data
+        # Data. Training batches ship compact (no device-side spatial
+        # coords) unless a consumer needs them: the CRF wrapper reads
+        # lvl0.coords on device (models/crf.py) and the visualization /
+        # prediction dumps read them back (_dump_batch_predictions).
+        needs_coords = bool(
+            config.wrapper_type and config.wrapper_type.lower() not in ("", "none")
+        )
         self.DatasetClass = load_dataset(config.dataset)
         self.train_loader = initialize_data_loader(
             self.DatasetClass, config, config.train_phase,
             num_workers=config.num_workers, shuffle=True, repeat=False,
             augment_data=config.train_augmentation, batch_size=config.batch_size,
             limit_numpoints=config.train_limit_numpoints, num_devices=self.n_dev,
+            ship_coords=needs_coords,
         )
         self.val_loader = initialize_data_loader(
             self.DatasetClass, config, config.val_phase,
             num_workers=config.num_val_workers, shuffle=False, repeat=False,
             augment_data=False, batch_size=config.val_batch_size,
             limit_numpoints=config.train_limit_numpoints, num_devices=self.n_dev,
+            ship_coords=needs_coords or bool(config.visualize)
+            or bool(config.save_prediction),
         )
         self.dataset = self.train_loader.dataset
         self.num_labels = self.dataset.num_train_labels
@@ -351,6 +360,7 @@ class Trainer:
         return variables
 
     def _eval_metrics_fn(self, state: TrainState, batch):
+        batch = batch.decompact()
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         out_a, out_b = self.eval_model.apply(
             variables, batch.feats, batch.graph, train=False,
@@ -408,6 +418,12 @@ class Trainer:
 
         ds = self.val_loader.dataset
         lvl0 = batch.graph.levels[0]
+        if lvl0.coords is None:
+            raise RuntimeError(
+                "prediction dumps need device-side coords: run with "
+                "--visualize/--save_prediction set at trainer construction "
+                "so the val loader builds with ship_coords=True"
+            )
         m = np.asarray(lvl0.bool_mask())  # sentinel rows are not voxels
         coords = np.asarray(lvl0.coords)[m]
         labels = np.asarray(batch.labels)[m]

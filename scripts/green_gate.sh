@@ -9,9 +9,15 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "[gate] import + entry()..."
-JAX_PLATFORMS=cpu python - <<'EOF'
+# JAX_PLATFORMS env is pinned to axon by sitecustomize; only the config
+# API switches platforms (entry()'s eager model.init pays an op-by-op
+# remote-compile storm on the tunnel otherwise)
+python - <<'EOF'
+import jax
+jax.config.update("jax_platforms", "cpu")
 import __graft_entry__
 fn, args = __graft_entry__.entry()
+jax.block_until_ready(jax.jit(fn)(*args))
 print("[gate] entry() OK")
 EOF
 

@@ -224,3 +224,54 @@ def test_builder_overflow_stats():
     builder.build([(coords, feats, labels)], stats_out=stats)
     assert stats["voxels_dropped"] > 0
     assert stats["levels"][0][2] is True  # level-0 overflow flagged
+
+
+def test_compact_batch_matches_full():
+    """Compact wire format (ship_coords=False, f16 feats, uint8 labels):
+    batch_idx recovered from batch_starts must equal the coords batch
+    column, and a forward + loss through the compact batch must match the
+    full build to f16 input precision."""
+    import jax
+    import jax.numpy as jnp
+
+    from languagegroundedsemseg_tpu.models.res16unet import Res16UNet14A
+
+    rng = np.random.default_rng(5)
+    scenes = []
+    for _ in range(3):
+        coords = rng.integers(0, 24, size=(300, 3)).astype(np.int32)
+        feats = (rng.integers(0, 256, size=(300, 3)) / 255.0 - 0.5).astype(
+            np.float32)
+        labels = rng.integers(0, 20, size=(300,)).astype(np.int32)
+        labels[:10] = 255  # ignore rows survive the uint8 wire format
+        scenes.append((coords, feats, labels))
+
+    full = BatchBuilder(
+        spec=res16unet_graph_spec(), fixed_capacity=2048,
+        limit_numpoints=10_000_000,
+    ).build(scenes)
+    compact = BatchBuilder(
+        spec=res16unet_graph_spec(), fixed_capacity=2048,
+        limit_numpoints=10_000_000, ship_coords=False, compact_feats=True,
+    ).build(scenes)
+
+    assert compact.graph.levels[0].coords is None
+    assert compact.feats.dtype == np.float16
+    assert compact.labels.dtype == np.uint8
+    for lf, lc in zip(full.graph.levels, compact.graph.levels):
+        np.testing.assert_array_equal(
+            np.asarray(lc.batch_idx) * np.asarray(lc.mask()),
+            np.asarray(lf.coords)[:, 0] * np.asarray(lf.mask()),
+        )
+
+    dec = compact.decompact()
+    assert dec.feats.dtype == jnp.float32 and dec.labels.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(dec.labels), full.labels)
+
+    model = Res16UNet14A(out_channels=20)
+    variables = model.init(jax.random.PRNGKey(0), full.feats, full.graph,
+                           train=False)
+    out_f = model.apply(variables, full.feats, full.graph, train=False)[0]
+    out_c = model.apply(variables, dec.feats, compact.graph, train=False)[0]
+    np.testing.assert_allclose(
+        np.asarray(out_c), np.asarray(out_f), rtol=2e-2, atol=2e-2)

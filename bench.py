@@ -145,36 +145,31 @@ def main():
     train_dt = (time.perf_counter() - t0) / train_iters
 
     # ---- loader-overlapped end-to-end ------------------------------------
-    # One loader thread builds the next batch (host graph build) while the
-    # device steps on the current one: e2e step = max(device, host/threads).
+    # Measured pipeline (PERF.md round 4, "protocol A"): ONE build thread
+    # (the fused native build is mostly GIL-free C++; a second thread only
+    # adds GIL churn on this 1-CPU host) and main-thread H2D double
+    # buffering — dispatch the step (async), device_put the NEXT batch
+    # while the device executes, then sync. Rebuilds the SAME scene set
+    # each step so the host cost repeats honestly with stable jit shapes.
     import queue
     import threading
 
-    def producer(q, n):
-        # Rebuild the SAME scene set each step: the host graph build (the
-        # real loader cost) repeats honestly while the batch shapes stay
-        # identical to the compiled step's — no mid-loop recompiles.
-        for _ in range(n):
-            q.put(jax.device_put(builder.build(scenes)))
-
-    # Two producer threads, as the real loader's num_workers: the numpy
-    # build of one batch overlaps the H2D transfer of the other (device_put
-    # releases the GIL during the tunnel I/O).
     e2e_steps = 6
-    n_workers = 2
     q: "queue.Queue" = queue.Queue(maxsize=2)
-    ths = [
-        threading.Thread(target=producer, args=(q, e2e_steps // n_workers),
-                         daemon=True)
-        for _ in range(n_workers)
-    ]
+
+    def producer():
+        for _ in range(e2e_steps):
+            q.put(builder.build(scenes))
+
     t0 = time.perf_counter()
-    for th in ths:
-        th.start()
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+    cur = jax.device_put(q.get())
     n_scenes = 0
-    for _ in range(e2e_steps):
-        b = q.get()
-        state, metrics = step(state, b, key)
+    for i in range(e2e_steps):
+        state, metrics = step(state, cur, key)  # async dispatch
+        if i + 1 < e2e_steps:
+            cur = jax.device_put(q.get())  # H2D rides the step's execution
         _sync(metrics["loss"])
         n_scenes += 4
     e2e_dt = time.perf_counter() - t0

@@ -579,20 +579,31 @@ class Trainer:
                     break
         for epoch in range(epochs):
             t0 = time.time()
-            n_steps, loss_sum = 0, 0.0
+            # The hot loop never forces a per-step D2H sync: metrics stay
+            # device arrays (fetched at stat_freq / epoch end) and the step
+            # counter is tracked host-side — jax's async dispatch then
+            # pipelines the next batch's H2D under the current step's
+            # execution (PERF.md round 4: per-step float() fetches were
+            # serializing the loader against the device).
+            n_steps = 0
+            losses: list = []
+            step0 = int(self.state.step)
             for batch in (overfit if overfit is not None else self.train_loader):
-                self.profiler.maybe_start(int(self.state.step))
+                self.profiler.maybe_start(step0 + n_steps)
                 self.state, metrics = self.p_train_step(self.state, batch, key)
-                self.profiler.maybe_stop(int(self.state.step))
+                self.profiler.maybe_stop(step0 + n_steps + 1)
                 n_steps += 1
-                loss_sum += float(metrics["loss"])
+                losses.append(metrics["loss"])
                 if n_steps % cfg.stat_freq == 0:
                     self.log({"phase": "train", "epoch": epoch,
-                              "step": int(self.state.step),
+                              "step": step0 + n_steps,
                               **{k: float(v) for k, v in metrics.items()}})
                 if max_steps_per_epoch and n_steps >= max_steps_per_epoch:
                     break
-            train_loss = loss_sum / max(n_steps, 1)
+            train_loss = (
+                float(np.mean(np.asarray(jax.device_get(losses), np.float64)))
+                if losses else 0.0
+            )
 
             val_metrics = {}
             if (epoch + 1) % val_every == 0:

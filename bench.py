@@ -60,7 +60,7 @@ def main():
     # f16 feats, uint8 labels) — the tunnel H2D is the e2e bottleneck.
     builder = BatchBuilder(spec=res16unet_graph_spec(), ship_coords=False,
                            compact_feats=True)
-    scenes = [_voxelize_scene(rng, 180_000) for _ in range(4)]
+    scenes = [_voxelize_scene(rng, 180_000, raw_color=True) for _ in range(4)]
     t_build0 = time.perf_counter()
     batch = builder.build(scenes)
     host_build_cold_s = time.perf_counter() - t_build0
@@ -107,8 +107,10 @@ def main():
     @jax.jit
     def fwd(variables, feats, graph):
         # same entry cast the train step applies (TrainBatch.decompact)
-        return model.apply(
-            variables, feats.astype(jnp.float32), graph, train=False)[0]
+        f = feats.astype(jnp.float32)
+        if feats.dtype == jnp.uint8:
+            f = f / 255.0 - 0.5
+        return model.apply(variables, f, graph, train=False)[0]
 
     batch = jax.device_put(batch)
     feats, graph = batch.feats, batch.graph

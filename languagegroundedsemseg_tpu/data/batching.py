@@ -116,7 +116,9 @@ class BatchBuilder:
             total += len(vc)
 
         coords = np.concatenate(coords_l, axis=0)
-        feats = np.concatenate(feats_l, axis=0).astype(np.float32)
+        feats = np.concatenate(feats_l, axis=0)
+        if feats.dtype != np.uint8:  # uint8 = raw colors, normalized on device
+            feats = feats.astype(np.float32)
         labels = np.concatenate(labels_l, axis=0).astype(np.int32)
         extra_cat = {k: np.concatenate(v, axis=0) for k, v in extras_l.items()}
 
@@ -185,7 +187,13 @@ class BatchBuilder:
                 graph.levels[0].capacity,
                 n_raw > cap0,
             )
-        f_dtype = np.float16 if self.compact_feats else np.float32
+        # uint8 feats stay uint8 on the wire (raw colors; the step
+        # normalizes on device — TrainBatch.decompact, matching the
+        # reference's trainer-side /255 - 0.5)
+        if feats.dtype == np.uint8:
+            f_dtype = np.uint8
+        else:
+            f_dtype = np.float16 if self.compact_feats else np.float32
         feats_p = np.zeros((cap0, feats.shape[1]), dtype=f_dtype)
         feats_p[pos0] = feats
         l_dtype = (

@@ -164,8 +164,16 @@ class DataLoader:
             items.append(item)
             feats = item["feats"]
             if getattr(self.dataset.config, "normalize_color", True):
-                feats = feats.copy()
-                feats[:, :3] = feats[:, :3] / 255.0 - 0.5
+                if (self.builder.compact_feats and feats.shape[1] == 3):
+                    # ship raw uint8 colors; the step normalizes on device
+                    # (TrainBatch.decompact — the reference also normalizes
+                    # trainer-side, pl_BaselineTrainer.py:299). Augmented
+                    # colors re-quantize to the source color depth; values
+                    # clamp to [0, 255] (most chromatic augs already clip).
+                    feats = np.clip(np.round(feats), 0, 255).astype(np.uint8)
+                else:
+                    feats = feats.copy()
+                    feats[:, :3] = feats[:, :3] / 255.0 - 0.5
             labels = item["labels"]
             if labels is not None and labels.ndim == 2:
                 labels = labels[:, 0]

@@ -780,6 +780,23 @@ def _cs_route(csmap, c_out, cap_in, interpret):
     return tile, winw, c_pad, bool(interpret)
 
 
+def _abs_parent(csmap):
+    """Decode the block-delta parent wire format (sparse/graph_host.py
+    _try_child_sum_map compact mode): uint16 deltas against a per-128-row
+    int32 base; guard rows (kslot == num_slots) decode to out_capacity.
+    Absolute int32 parents pass through unchanged."""
+    p = csmap.parent
+    if p.dtype != jnp.uint16:
+        return p
+    n = p.shape[0]
+    blk = jnp.take(csmap.parent_base,
+                   jnp.arange(n, dtype=jnp.int32) >> 7, axis=0)
+    dec = blk + p.astype(jnp.int32)
+    guard = jnp.int32(csmap.out_capacity)
+    return jnp.where(
+        csmap.kslot.astype(jnp.int32) == csmap.num_slots, guard, dec)
+
+
 def child_sum_conv(x, w, csmap, bias=None, interpret=None):
     """Apply a strided (down) conv through a ChildSumMap.
 
@@ -792,7 +809,7 @@ def child_sum_conv(x, w, csmap, bias=None, interpret=None):
     cap_out = csmap.out_capacity
     meta = CSMeta(csmap.num_slots, int(csmap.ov_seg), tile, winw, interpret)
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad))) if c_pad else w
-    out = _cs_core(x, wp, csmap.wstart, csmap.parent,
+    out = _cs_core(x, wp, csmap.wstart, _abs_parent(csmap),
                    csmap.kslot, csmap.ov_in, csmap.ov_out, csmap.ov_off,
                    cap_out, meta)
     if c_pad:
@@ -875,7 +892,7 @@ def transpose_child_sum_conv(x, w, csmap, bias=None, interpret=None):
     tile, winw, _, interpret = _cs_route(csmap, w.shape[1],
                                          int(csmap.in_capacity), interpret)
     meta = CSMeta(csmap.num_slots, int(csmap.ov_seg), tile, winw, interpret)
-    out = _tcs_core(x, w, csmap.wstart, csmap.parent, csmap.kslot,
+    out = _tcs_core(x, w, csmap.wstart, _abs_parent(csmap), csmap.kslot,
                     csmap.ov_in, csmap.ov_out, csmap.ov_off,
                     csmap.out_capacity, meta)
     if bias is not None:

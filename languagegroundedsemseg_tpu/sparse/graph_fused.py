@@ -408,7 +408,8 @@ def _build(lib, nlib, coords0, spec, capacities, layout_out, ship_coords):
             companion=ms.companion, droppable=not ms.keep_flat,
         )
         if (not fused and not ms.kind.transpose and ms.kind.stride > 1):
-            cs = _try_child_sum_map(idx, caps[li], companion=ms.companion)
+            cs = _try_child_sum_map(idx, caps[li], companion=ms.companion,
+                                    compact=True)
             if cs is not None:
                 gmaps[name] = cs
                 if not ms.keep_flat:

@@ -909,7 +909,8 @@ def _try_parent_map(idx: np.ndarray) -> Optional[ParentMap]:
     return ParentMap(parent=parent, kslot=kslot, num_slots=k)
 
 def _try_child_sum_map(idx: np.ndarray, cap_in: int,
-                       companion=None) -> "Optional[ChildSumMap]":
+                       companion=None,
+                       compact: bool = False) -> "Optional[ChildSumMap]":
     """Child-sum annotation for a strided (down) conv map
     (ops/onehot_conv.py:child_sum_conv).
 
@@ -977,8 +978,31 @@ def _try_child_sum_map(idx: np.ndarray, cap_in: int,
     # gather-only either way, so the flat table stays droppable.
     ov_in, ov_out, ov_off, ov_seg = _pack_ov(
         ov_entries, k, ov_cap, cap_out, guard_in=cap_in, guard_out=cap_out)
+    parent_base = np.zeros(0, np.int32)
+    if compact:
+        # Block-delta wire encoding: sorted keys make parents near-monotone
+        # over input rows, so parent - min(parent over the row's 128-block)
+        # fits uint16 (halves the shipped bytes of the biggest remaining
+        # int32 array). Guard rows (kslot == k) decode via kslot, not the
+        # delta (ops/onehot_conv.py:_abs_parent). Kept int32 if any block's
+        # spread overflows (pathological ordering).
+        blk = 128
+        n_blk = -(-cap_in // blk)
+        pad = n_blk * blk - cap_in
+        pv = np.concatenate([parent, np.full(pad, cap_out, np.int32)])
+        kv = np.concatenate([kslot, np.full(pad, k, np.uint8)])
+        pb = pv.reshape(n_blk, blk).astype(np.int64)
+        real = kv.reshape(n_blk, blk) != k
+        base = np.where(real, pb, np.int64(1) << 40).min(axis=1)
+        base = np.where(real.any(axis=1), base, 0)
+        off = pb - base[:, None]
+        off[~real] = 0
+        if off.max(initial=0) <= 65535:
+            parent = off.reshape(-1)[:cap_in].astype(np.uint16)
+            parent_base = base.astype(np.int32)
     return ChildSumMap(
         wstart=wstart, parent=parent, kslot=kslot,
+        parent_base=parent_base,
         ov_in=ov_in, ov_out=ov_out, ov_off=ov_off,
         num_slots=k, out_capacity_s=int(cap_out),
         ov_seg=int(ov_seg), tile=int(tile), win=int(win),
@@ -1159,7 +1183,8 @@ def finalize_graph(
                     continue
             if not ms.kind.transpose and ms.kind.stride > 1 and fuse_grouped:
                 sw = _try_child_sum_map(
-                    idx, capacities[ms.level_in], companion=ms.companion)
+                    idx, capacities[ms.level_in], companion=ms.companion,
+                    compact=not validate and flex)
                 if sw is not None:
                     gmaps[name] = sw
                 continue

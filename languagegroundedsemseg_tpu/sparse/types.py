@@ -244,7 +244,13 @@ class ChildSumMap:
     ov_in: jnp.ndarray
     ov_out: jnp.ndarray
     ov_off: jnp.ndarray
-    num_slots: int = struct.field(pytree_node=False)
+    # Wire compaction (production builds): when ``parent`` ships uint16,
+    # it holds block deltas against ``parent_base`` (one int32 min per
+    # 128 input rows); guard rows decode via kslot == num_slots
+    # (ops/onehot_conv.py:_abs_parent). Empty + int32 parent = absolute.
+    parent_base: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros(0, jnp.int32))
+    num_slots: int = struct.field(pytree_node=False, default=0)
     out_capacity_s: int = struct.field(pytree_node=False, default=0)
     ov_seg: int = struct.field(pytree_node=False, default=0)
     tile: int = struct.field(pytree_node=False, default=0)

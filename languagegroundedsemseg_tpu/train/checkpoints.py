@@ -232,6 +232,79 @@ def torch_to_flax_params(
     return new_params, new_stats, skipped
 
 
+def flax_to_torch_state_dict(
+    params: FrozenDict,
+    batch_stats: FrozenDict,
+    template_sd: Dict[str, np.ndarray],
+) -> Tuple[Dict[str, np.ndarray], list]:
+    """Inverse of ``torch_to_flax_params``: exports our flax trees back into
+    a MinkowskiEngine-format state dict, following a TEMPLATE (names +
+    shapes, e.g. the checkpoint being round-tripped or a freshly generated
+    reference-format dict). Inverts the ME kernel-slot permutation and the
+    pointwise (1, Cin, Cout) <-> (Cin, Cout) squeeze, so
+    torch -> flax -> torch round trips byte-stable (tests/test_parity.py).
+    Returns (state_dict, missing_names)."""
+    flat_params = _flatten(params)
+    flat_stats = _flatten(batch_stats)
+    out: Dict[str, np.ndarray] = {}
+    missing = []
+
+    for name, tv in template_sd.items():
+        tv = np.asarray(tv)
+        parts = _strip_prefixes(name).split(".")
+        joined = []
+        i = 0
+        while i < len(parts):
+            if i + 1 < len(parts) and parts[i + 1].isdigit():
+                joined.append(parts[i] + "_" + parts[i + 1])
+                i += 2
+            else:
+                joined.append(parts[i])
+                i += 1
+        joined = [
+            {"downsample_0": "downsample_conv", "downsample_1": "downsample_norm"}.get(j, j)
+            for j in joined
+        ]
+        tail = joined[-1]
+        base = "/".join(joined[:-1])
+
+        v = None
+        if tail == "kernel":
+            v = flat_params.get(f"{base}/kernel")
+            if v is not None:
+                v = np.asarray(v)
+                if tv.ndim == 3 and v.ndim == 2:
+                    v = v[None]  # pointwise back to kernel-volume-1
+                if v.ndim == 3:
+                    p = me_kernel_permutation(v.shape[0])
+                    if p is not None:
+                        v = v[np.argsort(p)]
+        elif tail in ("weight", "bias") and joined[-2] == "bn":
+            nm = {"weight": "scale", "bias": "bias"}[tail]
+            b2 = "/".join(joined[:-2])
+            for k in (f"{b2}/{nm}", f"{b2}/SparseBatchNorm_0/{nm}",
+                      f"{b2}/BatchNorm/{nm}"):
+                if k in flat_params:
+                    v = np.asarray(flat_params[k])
+                    break
+        elif tail in ("running_mean", "running_var") and joined[-2] == "bn":
+            nm = {"running_mean": "mean", "running_var": "var"}[tail]
+            b2 = "/".join(joined[:-2])
+            for k in (f"{b2}/{nm}", f"{b2}/SparseBatchNorm_0/{nm}",
+                      f"{b2}/BatchNorm/{nm}"):
+                if k in flat_stats:
+                    v = np.asarray(flat_stats[k])
+                    break
+        elif tail == "bias":
+            v = flat_params.get(f"{base}/bias")
+
+        if v is None or np.asarray(v).shape != tv.shape:
+            missing.append(name)
+            continue
+        out[name] = np.asarray(v, dtype=np.float32)
+    return out, missing
+
+
 def _flatten(tree, prefix=""):
     out = {}
     items = tree.items() if hasattr(tree, "items") else []

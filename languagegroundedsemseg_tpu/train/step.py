@@ -37,12 +37,16 @@ class TrainBatch:
 
     def decompact(self) -> "TrainBatch":
         """Undo the wire compaction (data/batching.py compact_feats /
-        compact_labels): f16 feats -> f32, uint8 labels -> int32. Free
-        inside jit (XLA fuses the casts into the first consumers); every
-        step function calls it at entry so downstream code sees the
-        canonical dtypes."""
+        compact_labels): f16 feats -> f32, uint8 feats -> normalized f32
+        colors (the reference normalizes on-device too,
+        pl_BaselineTrainer.py:299), uint8 labels -> int32. Free inside jit
+        (XLA fuses the casts into the first consumers); every step
+        function calls it at entry so downstream code sees the canonical
+        dtypes."""
         b = self
-        if b.feats.dtype == jnp.float16:
+        if b.feats.dtype == jnp.uint8:
+            b = b.replace(feats=b.feats.astype(jnp.float32) / 255.0 - 0.5)
+        elif b.feats.dtype == jnp.float16:
             b = b.replace(feats=b.feats.astype(jnp.float32))
         if b.labels.dtype != jnp.int32:
             b = b.replace(labels=b.labels.astype(jnp.int32))

@@ -113,8 +113,11 @@ def test_synthetic_dataset_loader_end_to_end():
     labels = np.asarray(b.labels)
     assert (labels[~m] == 255).all()  # pad + sentinel rows carry ignore
     assert labels[m].max() < 20
-    # color normalized to [-0.5, 0.5]
-    assert np.abs(np.asarray(b.feats)[m]).max() <= 0.5 + 1e-6
+    # wire format: raw uint8 colors; the step normalizes on device
+    # (TrainBatch.decompact — the reference normalizes trainer-side too)
+    assert b.feats.dtype == np.uint8
+    dec = np.asarray(b.decompact().feats)
+    assert np.abs(dec[m]).max() <= 0.5 + 1e-6
 
 
 def test_loader_repeat_and_multidevice():

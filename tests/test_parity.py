@@ -1,15 +1,26 @@
-"""Real-checkpoint logits-parity harness (BASELINE.md parity checks #1/#2).
+"""Checkpoint-parity harness (BASELINE.md parity checks #1/#2).
 
-Runs only when a reference Model Zoo checkpoint is provided:
+Two tiers:
 
-    LGS_TORCH_CKPT=/path/to/Res16UNet34C.pth \
-    [LGS_REF_ACTS=/path/to/ref_acts.npz] pytest tests/test_parity.py
+1. **Committed-fixture tier (always runs).** The released Model Zoo
+   weights (reference README.md:144-149) cannot ship here (zero egress),
+   so the committed stand-in is `tests/fixtures/parity_scene_34c.npz`:
+   one scene of recorded activations from the float64 dense-torch oracle
+   (tests/test_parity_dense_torch.py — an independent implementation of
+   the MinkowskiEngine semantics), plus a deterministic reference-format
+   state_dict regenerated from the recorded seed. These pin (a) the
+   torch->flax->torch round trip byte-stable (converter + ME kernel-slot
+   permutation inverse) and (b) per-voxel logits through the full import
+   path against the committed recording. Regenerate with
+   `python scripts/make_parity_fixture.py`.
 
-The Model Zoo weights (reference README.md:144-149) cannot ship in this
-repo; with zero egress in CI these tests skip. Given the checkpoint they
-assert (a) every backbone tensor maps onto the flax tree and (b) per-voxel
-logits match recorded reference activations (npz with coords/feats/logits
-produced by scripts/dump_reference_acts.py run in a torch+ME environment).
+2. **Real-checkpoint tier (env-gated).** With a Model Zoo .pth:
+
+       LGS_TORCH_CKPT=/path/to/Res16UNet34C.pth \
+       [LGS_REF_ACTS=/path/to/ref_acts.npz] pytest tests/test_parity.py
+
+   asserts full backbone tensor coverage and logits parity vs activations
+   recorded by scripts/dump_reference_acts.py in a torch+ME environment.
 """
 
 import os
@@ -19,24 +30,116 @@ import pytest
 
 CKPT = os.environ.get("LGS_TORCH_CKPT")
 REF_ACTS = os.environ.get("LGS_REF_ACTS")
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "parity_scene_34c.npz")
 
-pytestmark = pytest.mark.skipif(
+needs_ckpt = pytest.mark.skipif(
     not CKPT or not os.path.isfile(CKPT or ""),
-    reason="set LGS_TORCH_CKPT to a reference Model Zoo .pth to run parity",
+    reason="set LGS_TORCH_CKPT to a reference Model Zoo .pth to run",
 )
 
 
-def _model_for(sd_keys):
-    from languagegroundedsemseg_tpu.models import load_model
-
-    # 34D heads are 512-wide finals; 34C finals are num_labels-wide
-    name = "Res16UNet34D" if any("final" in k and "512" in k for k in sd_keys) else "Res16UNet34C"
-    return load_model(name)
+# ---- tier 1: committed fixture ----------------------------------------------
 
 
+def _fixture_state_dict():
+    from tests.test_parity_dense_torch import make_state_dict
+
+    fx = np.load(FIXTURE)
+    rng = np.random.default_rng(int(fx["seed"]))
+    # the generator draws coords + feats from the same stream before sd
+    from tests.test_parity_dense_torch import C_IN, G
+
+    coords = np.unique(
+        rng.integers(0, G, size=(int(fx["n_points"]), 3)).astype(np.int32),
+        axis=0)
+    feats = rng.normal(size=(len(coords), C_IN)).astype(np.float32)
+    np.testing.assert_array_equal(coords, fx["coords"])
+    np.testing.assert_array_equal(feats, fx["feats"])
+    return make_state_dict(rng), fx
+
+
+def test_torch_flax_torch_round_trip_byte_stable(tmp_path):
+    """torch.save -> load_torch_state_dict -> torch_to_flax_params ->
+    flax_to_torch_state_dict reproduces every tensor bit-exactly."""
+    import jax
+    import torch
+
+    from languagegroundedsemseg_tpu.data.batching import BatchBuilder
+    from languagegroundedsemseg_tpu.models.res16unet import (
+        Res16UNet34C,
+        res16unet_graph_spec,
+    )
+    from languagegroundedsemseg_tpu.train.checkpoints import (
+        flax_to_torch_state_dict,
+        load_torch_state_dict,
+        torch_to_flax_params,
+    )
+    from tests.test_parity_dense_torch import C_OUT
+
+    sd0, fx = _fixture_state_dict()
+    path = tmp_path / "fixture_34c.pth"
+    torch.save({k: torch.as_tensor(v) for k, v in sd0.items()}, path)
+    sd = load_torch_state_dict(str(path))
+
+    rng = np.random.default_rng(0)
+    builder = BatchBuilder(spec=res16unet_graph_spec(), fixed_capacity=1024)
+    batch = builder.build(
+        [(fx["coords"], fx["feats"], np.zeros(len(fx["coords"]), np.int32))])
+    model = Res16UNet34C(out_channels=C_OUT)
+    variables = model.init(jax.random.PRNGKey(0), batch.feats, batch.graph,
+                           train=False)
+    params, stats, skipped = torch_to_flax_params(
+        sd, variables["params"], variables.get("batch_stats", {}))
+    assert not skipped, skipped[:8]
+
+    sd2, missing = flax_to_torch_state_dict(params, stats, sd)
+    assert not missing, missing[:8]
+    assert set(sd2) == set(sd0)
+    for k in sd0:
+        np.testing.assert_array_equal(sd2[k], sd0[k], err_msg=k)
+
+
+def test_fixture_logits_parity():
+    """Converter + engine vs the committed oracle recording, per voxel."""
+    import jax
+
+    from languagegroundedsemseg_tpu.data.batching import BatchBuilder
+    from languagegroundedsemseg_tpu.models.res16unet import (
+        Res16UNet34C,
+        res16unet_graph_spec,
+    )
+    from languagegroundedsemseg_tpu.train.checkpoints import torch_to_flax_params
+    from tests.test_parity_dense_torch import C_OUT
+
+    sd, fx = _fixture_state_dict()
+    coords, feats, want = fx["coords"], fx["feats"], fx["logits"]
+
+    builder = BatchBuilder(spec=res16unet_graph_spec(), fixed_capacity=1024)
+    batch, layout = builder.build(
+        [(coords, feats, np.zeros(len(coords), np.int32))],
+        return_layout=True)
+    model = Res16UNet34C(out_channels=C_OUT)
+    variables = model.init(jax.random.PRNGKey(0), batch.feats, batch.graph,
+                           train=False)
+    params, stats, skipped = torch_to_flax_params(
+        sd, variables["params"], variables.get("batch_stats", {}))
+    assert not skipped
+    logits, _ = model.apply({"params": params, "batch_stats": stats},
+                            batch.feats, batch.graph, train=False)
+    got = np.asarray(logits)[layout["pos0"]]
+    want_kept = want[layout["order"]]
+    err = np.abs(got - want_kept).max() / (np.abs(want_kept).max() + 1e-9)
+    assert err < 1e-3, f"logits relative error {err}"
+
+
+# ---- tier 2: real Model Zoo checkpoint (env-gated) ---------------------------
+
+
+@pytest.mark.slow
+@needs_ckpt
 def test_all_backbone_tensors_map():
     import jax
-    import jax.numpy as jnp
 
     from languagegroundedsemseg_tpu.data.batching import BatchBuilder
     from languagegroundedsemseg_tpu.models.res16unet import Res16UNet34C, res16unet_graph_spec
@@ -65,6 +168,8 @@ def test_all_backbone_tensors_map():
     assert not backbone_skipped, f"unmapped backbone tensors: {backbone_skipped[:10]}"
 
 
+@pytest.mark.slow
+@needs_ckpt
 @pytest.mark.skipif(
     not REF_ACTS or not os.path.isfile(REF_ACTS or ""),
     reason="set LGS_REF_ACTS to an npz of recorded reference activations",
@@ -73,7 +178,6 @@ def test_per_voxel_logits_parity():
     """npz fields: coords (N,4) batched voxel coords as fed to ME,
     feats (N,C_in), logits (N,num_labels) from the reference forward."""
     import jax
-    import jax.numpy as jnp
 
     from languagegroundedsemseg_tpu.data.batching import BatchBuilder
     from languagegroundedsemseg_tpu.models.res16unet import Res16UNet34C, res16unet_graph_spec

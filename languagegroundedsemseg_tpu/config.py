@@ -46,6 +46,12 @@ class Config:
     iter_size: int = 1
     bn_momentum: float = 0.02
     classifier_only: bool = False
+    # Classifier stage on precomputed frozen-backbone features with
+    # per-epoch class-balanced resampling (train/classifier.py — the
+    # reference's pl_ClassifierTrainer.py:120 resample_features() contract,
+    # whose dataset class the reference itself lacks).
+    classifier_resample_features: bool = False
+    classifier_samples_per_class: int = 256
 
     # Loss
     loss_type: str = "cross_entropy"  # cross_entropy | focal | weighted_ce

@@ -550,10 +550,55 @@ class Trainer:
                     out[f"val_{name}_map"] = float(np.nanmean(aps[sel]))
         return out
 
+    def fit_classifier_features(self, max_epochs: Optional[int] = None):
+        """Classifier stage on precomputed features (reference
+        pl_ClassifierTrainer semantics): extract frozen-backbone features
+        over the train/val loaders once, then train the linear classifier
+        with per-epoch class-balanced resampling
+        (data/feature_dataset.py + train/classifier.py)."""
+        from languagegroundedsemseg_tpu.data.feature_dataset import (
+            ResampledFeatureDataset,
+            extract_features,
+        )
+        from languagegroundedsemseg_tpu.train.classifier import (
+            train_classifier_on_features,
+        )
+
+        cfg = self.config
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+
+        def eval_fn(batch):
+            b = batch.decompact()
+            return self.eval_model.apply(
+                variables, b.feats, b.graph, train=False)
+
+        feats, labels = extract_features(
+            eval_fn, self.train_loader, ignore_index=cfg.ignore_label)
+        vfeats, vlabels = extract_features(
+            eval_fn, self.val_loader, ignore_index=cfg.ignore_label)
+        ds = ResampledFeatureDataset(
+            feats, labels, num_classes=self.num_labels,
+            samples_per_class=cfg.classifier_samples_per_class, seed=cfg.seed)
+        val = (ResampledFeatureDataset(
+            vfeats, vlabels, num_classes=self.num_labels,
+            samples_per_class=cfg.classifier_samples_per_class,
+            seed=cfg.seed + 1) if len(vfeats) else None)
+        clf_vars, history = train_classifier_on_features(
+            ds, num_classes=self.num_labels,
+            epochs=max_epochs if max_epochs is not None else cfg.max_epoch,
+            lr=cfg.lr, momentum=cfg.sgd_momentum, seed=cfg.seed, val=val,
+            log_fn=lambda rec: self.log({"phase": "classifier", **rec}),
+        )
+        return clf_vars, history
+
     def fit(self, max_epochs: Optional[int] = None, val_every: int = 1,
             max_steps_per_epoch: Optional[int] = None):
         cfg = self.config
         epochs = max_epochs if max_epochs is not None else cfg.max_epoch
+        if self.mode == "classifier" and cfg.classifier_resample_features:
+            self.fit_classifier_features(max_epochs)
+            return self.state
 
         if cfg.resume:
             path = cfg.resume if os.path.isfile(cfg.resume) else find_resume_checkpoint(cfg.resume)

@@ -105,9 +105,15 @@ class InssegTrainer:
         self.eval_model = self.model if self.axis is None else _mk(None)
 
         batch = self._make_batch([0])
-        variables = self.eval_model.init(
-            jax.random.PRNGKey(config.seed), batch.feats, batch.graph, train=False
+        from languagegroundedsemseg_tpu.train.trainer import init_on_cpu
+
+        variables = init_on_cpu(
+            self.eval_model.init,
+            jax.random.PRNGKey(config.seed), batch.feats, batch.graph,
+            train=False,
         )
+        if jax.default_backend() != "cpu":
+            variables = jax.device_put(variables, jax.devices()[0])
         sched = make_lr_schedule(config.scheduler, config.lr, step_gamma=config.step_gamma,
                                  multi_step_milestones=config.multi_step_milestones,
                                  max_steps=config.max_iter)

@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import nullcontext as _nullcontext
 from typing import Dict, Optional
 
 import jax
@@ -47,6 +48,21 @@ from languagegroundedsemseg_tpu.train.objectives import (
 from languagegroundedsemseg_tpu.train.solvers import initialize_optimizer, make_lr_schedule
 from languagegroundedsemseg_tpu.train.state import TrainState
 from languagegroundedsemseg_tpu.train.step import make_train_step
+
+
+def init_on_cpu(init_fn, *args, **kwargs):
+    """Run a flax init on the host CPU backend and return the pytree.
+    Eager init on a remote/tunneled accelerator pays an op-by-op
+    remote-compile storm (minutes for the 34C tree); callers device_put
+    the finished pytree once instead."""
+    try:
+        cpu0 = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu0 = None
+    ctx = jax.default_device(cpu0) if cpu0 is not None else _nullcontext()
+    with ctx:
+        out = init_fn(*args, **kwargs)
+    return out
 
 
 def select_mode(config: Config) -> str:
@@ -227,12 +243,18 @@ class Trainer:
                 {"train": self.tx, "freeze": _optax.set_to_zero()}, _label
             )
 
-        # Init state
+        # Init state. Eager init on a remote/tunneled accelerator pays an
+        # op-by-op remote-compile storm (minutes for the 34C tree); run the
+        # init on the host CPU backend and ship the finished pytree once.
         init_batch = self._first_batch()
-        variables = self.eval_model.init(
-            jax.random.PRNGKey(config.seed), init_batch.feats, init_batch.graph, train=False
+        variables = init_on_cpu(
+            self.eval_model.init,
+            jax.random.PRNGKey(config.seed), init_batch.feats,
+            init_batch.graph, train=False,
         )
         variables = self._maybe_load_weights(variables)
+        if jax.default_backend() != "cpu":
+            variables = jax.device_put(variables, jax.devices()[0])
         self.state = TrainState.create(variables, self.tx)
 
         # Steps

@@ -241,20 +241,20 @@ def test_compact_batch_matches_full():
 
     rng = np.random.default_rng(5)
     scenes = []
-    for _ in range(3):
-        coords = rng.integers(0, 24, size=(300, 3)).astype(np.int32)
-        feats = (rng.integers(0, 256, size=(300, 3)) / 255.0 - 0.5).astype(
+    for _ in range(2):
+        coords = rng.integers(0, 18, size=(150, 3)).astype(np.int32)
+        feats = (rng.integers(0, 256, size=(150, 3)) / 255.0 - 0.5).astype(
             np.float32)
-        labels = rng.integers(0, 20, size=(300,)).astype(np.int32)
+        labels = rng.integers(0, 20, size=(150,)).astype(np.int32)
         labels[:10] = 255  # ignore rows survive the uint8 wire format
         scenes.append((coords, feats, labels))
 
     full = BatchBuilder(
-        spec=res16unet_graph_spec(), fixed_capacity=2048,
+        spec=res16unet_graph_spec(), fixed_capacity=1024,
         limit_numpoints=10_000_000,
     ).build(scenes)
     compact = BatchBuilder(
-        spec=res16unet_graph_spec(), fixed_capacity=2048,
+        spec=res16unet_graph_spec(), fixed_capacity=1024,
         limit_numpoints=10_000_000, ship_coords=False, compact_feats=True,
     ).build(scenes)
 

@@ -27,7 +27,8 @@ def _graph_and_feats(model_cls, cap0=384, cin=3, seed=0):
     "name",
     [
         "ResNet14",
-        "Res16UNet34D",
+        "Res16UNet14D",  # 512-wide CLIP final head, shallow (fast tier)
+        pytest.param("Res16UNet34D", marks=pytest.mark.slow),
         pytest.param("ResNet50", marks=pytest.mark.slow),
         pytest.param("ResUNet14", marks=pytest.mark.slow),
         pytest.param("MinkUNetHyper14INBN", marks=pytest.mark.slow),

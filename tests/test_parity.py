@@ -59,9 +59,13 @@ def _fixture_state_dict():
     return make_state_dict(rng), fx
 
 
-def test_torch_flax_torch_round_trip_byte_stable(tmp_path):
-    """torch.save -> load_torch_state_dict -> torch_to_flax_params ->
-    flax_to_torch_state_dict reproduces every tensor bit-exactly."""
+def test_fixture_round_trip_and_logits_parity(tmp_path):
+    """One full-width 34C setup serving both tier-1 assertions:
+
+    (a) torch.save -> load_torch_state_dict -> torch_to_flax_params ->
+        flax_to_torch_state_dict reproduces every tensor bit-exactly;
+    (b) the converted model's per-voxel logits match the committed
+        dense-torch oracle recording."""
     import jax
     import torch
 
@@ -78,42 +82,10 @@ def test_torch_flax_torch_round_trip_byte_stable(tmp_path):
     from tests.test_parity_dense_torch import C_OUT
 
     sd0, fx = _fixture_state_dict()
+    coords, feats, want = fx["coords"], fx["feats"], fx["logits"]
     path = tmp_path / "fixture_34c.pth"
     torch.save({k: torch.as_tensor(v) for k, v in sd0.items()}, path)
     sd = load_torch_state_dict(str(path))
-
-    rng = np.random.default_rng(0)
-    builder = BatchBuilder(spec=res16unet_graph_spec(), fixed_capacity=1024)
-    batch = builder.build(
-        [(fx["coords"], fx["feats"], np.zeros(len(fx["coords"]), np.int32))])
-    model = Res16UNet34C(out_channels=C_OUT)
-    variables = model.init(jax.random.PRNGKey(0), batch.feats, batch.graph,
-                           train=False)
-    params, stats, skipped = torch_to_flax_params(
-        sd, variables["params"], variables.get("batch_stats", {}))
-    assert not skipped, skipped[:8]
-
-    sd2, missing = flax_to_torch_state_dict(params, stats, sd)
-    assert not missing, missing[:8]
-    assert set(sd2) == set(sd0)
-    for k in sd0:
-        np.testing.assert_array_equal(sd2[k], sd0[k], err_msg=k)
-
-
-def test_fixture_logits_parity():
-    """Converter + engine vs the committed oracle recording, per voxel."""
-    import jax
-
-    from languagegroundedsemseg_tpu.data.batching import BatchBuilder
-    from languagegroundedsemseg_tpu.models.res16unet import (
-        Res16UNet34C,
-        res16unet_graph_spec,
-    )
-    from languagegroundedsemseg_tpu.train.checkpoints import torch_to_flax_params
-    from tests.test_parity_dense_torch import C_OUT
-
-    sd, fx = _fixture_state_dict()
-    coords, feats, want = fx["coords"], fx["feats"], fx["logits"]
 
     builder = BatchBuilder(spec=res16unet_graph_spec(), fixed_capacity=1024)
     batch, layout = builder.build(
@@ -124,7 +96,16 @@ def test_fixture_logits_parity():
                            train=False)
     params, stats, skipped = torch_to_flax_params(
         sd, variables["params"], variables.get("batch_stats", {}))
-    assert not skipped
+    assert not skipped, skipped[:8]
+
+    # (a) byte-stable round trip
+    sd2, missing = flax_to_torch_state_dict(params, stats, sd)
+    assert not missing, missing[:8]
+    assert set(sd2) == set(sd0)
+    for k in sd0:
+        np.testing.assert_array_equal(sd2[k], sd0[k], err_msg=k)
+
+    # (b) per-voxel logits vs the committed recording
     logits, _ = model.apply({"params": params, "batch_stats": stats},
                             batch.feats, batch.graph, train=False)
     got = np.asarray(logits)[layout["pos0"]]

@@ -225,6 +225,9 @@ def make_state_dict(rng):
     return sd
 
 
+@pytest.mark.slow  # ~38 s: full-width 34C in f64 torch. The committed
+# fixture tests (tests/test_parity.py tier 1) pin the same import path in
+# the fast tier against this oracle's recorded activations.
 def test_res16unet34c_matches_dense_torch_oracle():
     import jax
 

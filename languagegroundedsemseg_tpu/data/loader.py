@@ -65,6 +65,7 @@ class LoaderCounters:
         self.voxels_dropped = 0  # level-0 capacity truncation
         self.level_overflows: dict = {}  # level -> count of truncated batches
         self.level_fill_sum: dict = {}  # level -> sum of num/capacity
+        self.level_num_sum: dict = {}  # level -> sum of valid rows
 
     def update(self, stats: dict):
         with self._lock:
@@ -74,6 +75,7 @@ class LoaderCounters:
             for l, (num, cap, overflowed) in stats.get("levels", {}).items():
                 self.level_overflows[l] = self.level_overflows.get(l, 0) + int(overflowed)
                 self.level_fill_sum[l] = self.level_fill_sum.get(l, 0.0) + num / max(cap, 1)
+                self.level_num_sum[l] = self.level_num_sum.get(l, 0) + int(num)
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -163,21 +165,31 @@ class DataLoader:
             item = self.dataset.get_item(int(idx), rng)
             items.append(item)
             feats = item["feats"]
-            if getattr(self.dataset.config, "normalize_color", True):
-                if (self.builder.compact_feats and feats.shape[1] == 3):
-                    # ship raw uint8 colors; the step normalizes on device
-                    # (TrainBatch.decompact — the reference also normalizes
-                    # trainer-side, pl_BaselineTrainer.py:299). Augmented
-                    # colors re-quantize to the source color depth; values
-                    # clamp to [0, 255] (most chromatic augs already clip).
-                    feats = np.clip(np.round(feats), 0, 255).astype(np.uint8)
-                else:
-                    feats = feats.copy()
-                    feats[:, :3] = feats[:, :3] / 255.0 - 0.5
             labels = item["labels"]
             if labels is not None and labels.ndim == 2:
                 labels = labels[:, 0]
             scenes.append((item["coords"], feats, labels))
+        if getattr(self.dataset.config, "normalize_color", True):
+            # Wire format decided PER BATCH (mixed dtypes would promote to
+            # raw-valued f32 that the device step would not normalize):
+            # uint8 = ship raw colors, the step normalizes on device
+            # (TrainBatch.decompact — the reference also normalizes
+            # trainer-side, pl_BaselineTrainer.py:299). Augmented colors
+            # re-quantize to the source color depth; a batch whose chromatic
+            # augs left [0, 255] takes the f32 wire path instead of clamping
+            # (ADVICE r4 — no silent train-time distribution change).
+            as_uint8 = self.builder.compact_feats and all(
+                f.shape[1] == 3
+                and (f.size == 0 or (f.min() >= 0.0 and f.max() <= 255.0))
+                for _, f, _ in scenes
+            )
+            for j, (c, f, l) in enumerate(scenes):
+                if as_uint8:
+                    f = np.round(f).astype(np.uint8)
+                else:
+                    f = f.copy()
+                    f[:, :3] = f[:, :3] / 255.0 - 0.5
+                scenes[j] = (c, f, l)
         stats: dict = {}
         # Per-voxel dataset index: prediction dumps derive scene identity
         # from this, so dropped/reordered scenes can never shift ids

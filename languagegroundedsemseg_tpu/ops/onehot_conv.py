@@ -270,6 +270,18 @@ def _run_dw_fused(inv_wstart, inv_anchors, t3b, g, tile, winw, interpret):
 _TPU_PROBE: dict = {}
 
 
+def _on_tpu() -> bool:
+    """True when a trace built here will execute on the TPU. Checks the
+    default_device override as well as the backend: trainer.init_on_cpu
+    runs inits under ``jax.default_device(cpu)`` while the process backend
+    is still "tpu" — emitting a real pallas_call there is a CPU-lowering
+    error, so those traces must take the gather fallbacks."""
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", "tpu") != "tpu":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def _tpu_kernels_ok() -> bool:
     """One-time probe: compile + run tiny selector kernels on the real TPU.
 
@@ -512,7 +524,7 @@ def onehot_window_conv(x, w, msmap, bias=None, interpret=None):
     if interpret is None:
         # Off-TPU the interpreted kernel is far slower than the gather
         # paths — only run it when a caller (tests) asks explicitly.
-        if jax.default_backend() != "tpu":
+        if not _on_tpu():
             return None
         if not _tpu_kernels_ok():
             return None
@@ -766,7 +778,7 @@ def _cs_route(csmap, c_out, cap_in, interpret):
     c_run = c_out + c_pad
     use_kernel = tile > 0 and csmap.wstart.size > 0
     if use_kernel and interpret is None:
-        if jax.default_backend() != "tpu" or not _tpu_kernels_ok():
+        if not _on_tpu() or not _tpu_kernels_ok():
             use_kernel = False
         else:
             interpret = False

@@ -29,6 +29,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional, Sequence
 
 import numpy as np
@@ -65,18 +66,36 @@ _i64p = ctypes.POINTER(ctypes.c_int64)
 
 
 def _compile() -> bool:
+    # Compile to a private temp file and os.replace() into place: concurrent
+    # first use from loader threads/processes must never CDLL a half-written
+    # .so (a failed load would set _tried and silently disable the fast path
+    # for the whole process — ADVICE r4).
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-             "-o", _LIB_PATH],
+             "-o", tmp],
             check=True, capture_output=True,
         )
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
+_lib_lock = threading.Lock()
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
+    with _lib_lock:
+        return _get_lib_locked()
+
+
+def _get_lib_locked() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib

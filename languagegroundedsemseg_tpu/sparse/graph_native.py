@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional, Sequence
 
 import numpy as np
@@ -26,18 +27,34 @@ _tried = False
 
 
 def _compile() -> bool:
+    # temp-file + atomic rename: a concurrent first use must never CDLL a
+    # half-written .so (same hardening as sparse/graph_fused.py).
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", tmp],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
+_lib_lock = threading.Lock()
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
+    with _lib_lock:
+        return _get_lib_locked()
+
+
+def _get_lib_locked() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
@@ -109,8 +126,14 @@ def _up_map_skippable(spec, ms, fuse, fuse_grouped, drop_redundant) -> bool:
             and not ms.keep_flat):
         return False
     comp = spec.maps.get(ms.companion) if ms.companion else None
+    # kernel_size == stride is what guarantees _try_child_sum_map's input
+    # partition holds (each input row has exactly one parent), so only then
+    # is the companion's ChildSumMap guaranteed to exist and serve the up
+    # conv. A k3s2 companion would pass a looser predicate but fail the
+    # partition, leaving the up conv a 1-wide dummy table (ADVICE r4).
     return (comp is not None and not comp.kind.transpose
             and comp.kind.stride > 1
+            and comp.kind.kernel_size == comp.kind.stride
             and comp.level_in == ms.level_out
             and comp.level_out == ms.level_in)
 

@@ -518,8 +518,10 @@ class Trainer:
         split = getattr(self.dataset, "frequency_organized_cats", None)
         ev = IoUEvaluator(self.num_labels, split, getattr(self.dataset, "CLASS_LABELS", None))
         losses, count = 0.0, 0
-        tp_acc = np.zeros((self.num_labels, 100))
-        fp_acc = np.zeros((self.num_labels, 100))
+        # AP histogram accumulators are sized from the first batch's output
+        # (ap_histograms_jax owns the bin count; a hardcoded width here
+        # broke when the device histograms moved to 2048 bins).
+        tp_acc = fp_acc = None
         viz_freq = self.config.visualize_freq
         for i, batch in enumerate(self.val_loader if batches is None else batches):
             if max_batches is not None and i >= max_batches:
@@ -533,6 +535,9 @@ class Trainer:
                 hist, tp, fp = hist.sum(0), tp.sum(0), fp.sum(0)
                 loss = float(loss.mean())
             ev.update_hist(hist)
+            if tp_acc is None:
+                tp_acc = np.zeros_like(tp, dtype=np.float64)
+                fp_acc = np.zeros_like(fp, dtype=np.float64)
             tp_acc += tp
             fp_acc += fp
             losses += float(loss)
@@ -619,7 +624,19 @@ class Trainer:
         cfg = self.config
         epochs = max_epochs if max_epochs is not None else cfg.max_epoch
         if self.mode == "classifier" and cfg.classifier_resample_features:
-            self.fit_classifier_features(max_epochs)
+            # Persist the stage's output (ADVICE r4): keep the trained
+            # classifier params on the trainer and write them next to the
+            # backbone checkpoints so a CLI run of the resample stage
+            # produces a usable artifact, not just log records.
+            clf_vars, history = self.fit_classifier_features(max_epochs)
+            self.classifier_vars = clf_vars
+            from flax import serialization
+
+            path = os.path.join(self.log_dir, "classifier_features.ckpt")
+            with open(path, "wb") as f:
+                f.write(serialization.to_bytes(jax.device_get(clf_vars)))
+            with open(path + ".json", "w") as f:
+                json.dump({"history": history}, f, indent=2, default=str)
             return self.state
 
         if cfg.resume:

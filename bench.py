@@ -1,16 +1,31 @@
 """Benchmark: Res16UNet34C throughput on one chip — forward, train step,
-and loader-overlapped end-to-end, in ONE JSON line.
+and PRODUCTION-loader end-to-end, in ONE JSON line.
 
 Primary metric (the driver's ``value``/``vs_baseline``) stays the forward
 voxel throughput for round-over-round comparability; the train-step and
 end-to-end numbers ride along with their own ``*_vs_baseline`` fields
 (VERDICT r2 #3: BASELINE.md targets "voxels/sec/chip ...; scenes/sec e2e").
 
+Variance (VERDICT r4 #7): fwd/train run N_REPS independent timing reps and
+report the min with a ``*_spread`` field ((max-min)/min across reps); e2e
+reports the spread across step-window quarters. Quote the recorded min —
+single-run numbers on this 1-core host swing with scheduler noise.
+
+The e2e section drives the REAL input pipeline (VERDICT r4 #3):
+``initialize_data_loader`` over a synthetic on-the-fly dataset — full
+``get_item`` (elastic distortion, rot/scale voxelization, chromatic augs),
+``data/loader.py`` worker threads with worker-side ``jax.device_put``,
+production wire format (compact feats, no device coords). The recorded
+split (warm build / H2D bytes / device step) attributes the number.
+
 Baselines: the reference publishes no throughput numbers (BASELINE.md);
 public MinkowskiEngine benchmarks on an RTX-3090-class GPU measure ~4.0M
 voxels/sec for the Res16UNet34C forward, and ME's fwd+bwd+step runs ~3x the
 forward time, giving ~1.33M voxels/sec for the train step. The e2e mark is
-the train-step mark over the bench scene size (loader assumed hidden).
+the train-step mark over the measured voxels/scene — i.e. it assumes the
+reference's DataLoader workers fully hide preprocessing (true on a
+multi-core host; conservative against us: this bench host has ONE core, so
+our loader and device share it).
 """
 
 from __future__ import annotations
@@ -22,6 +37,7 @@ import numpy as np
 
 FWD_BASELINE = 4.0e6  # RTX-3090-class ME forward voxels/sec
 TRAIN_BASELINE = FWD_BASELINE / 3.0  # ME fwd+bwd+opt ~ 3x forward time
+N_REPS = 3
 
 
 def _sync(x):
@@ -30,6 +46,21 @@ def _sync(x):
     on-device first; np.asarray on the full array would drag the whole
     buffer through the ~30 MB/s tunnel)."""
     return float(x[(0,) * getattr(x, "ndim", 0)])
+
+
+def _spread(times):
+    lo, hi = min(times), max(times)
+    return round((hi - lo) / lo, 3) if lo > 0 else 0.0
+
+
+def _batch_bytes(batch):
+    import jax
+
+    return sum(
+        int(np.prod(l.shape)) * l.dtype.itemsize
+        for l in jax.tree_util.tree_leaves(batch)
+        if hasattr(l, "shape")
+    )
 
 
 def main():
@@ -66,8 +97,7 @@ def main():
     host_build_cold_s = time.perf_counter() - t_build0
     # Warm (steady-state) build: the cold build pays one-time costs — page
     # faults on fresh allocator arenas, flex-capacity settling — that a
-    # long-running loader never sees again. The warm number is the one that
-    # bounds e2e throughput (one host core: e2e = max(device, warm build)).
+    # long-running loader never sees again.
     warm_times = []
     for _ in range(2):
         t0 = time.perf_counter()
@@ -75,6 +105,7 @@ def main():
         warm_times.append(time.perf_counter() - t0)
     host_build_warm_s = min(warm_times)
     n_valid = int(np.asarray(batch.graph.levels[0].valid).sum())
+    h2d_mb = _batch_bytes(batch) / 1e6
 
     model = Res16UNet34C(out_channels=200)
     # Shape-only init: eager init on the device pays an op-by-op
@@ -118,12 +149,15 @@ def main():
 
     # ---- forward ----------------------------------------------------------
     _sync(fwd(variables, feats, graph))  # warmup + compile
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, feats, graph)
-        _sync(out)
-    fwd_dt = (time.perf_counter() - t0) / iters
+    fwd_reps = []
+    for _ in range(N_REPS):
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(variables, feats, graph)
+            _sync(out)
+        fwd_reps.append((time.perf_counter() - t0) / iters)
+    fwd_dt = min(fwd_reps)
 
     # ---- train step (fwd+bwd+SGD) ----------------------------------------
     tx = sgd_torch(0.01)
@@ -139,48 +173,68 @@ def main():
     key = jax.random.PRNGKey(1)
     state, metrics = step(state, batch, key)  # warmup + compile
     _sync(metrics["loss"])
+    train_reps = []
+    for _ in range(N_REPS):
+        train_iters = 3
+        t0 = time.perf_counter()
+        for _ in range(train_iters):
+            state, metrics = step(state, batch, key)
+            _sync(metrics["loss"])
+        train_reps.append((time.perf_counter() - t0) / train_iters)
+    train_dt = min(train_reps)
+
+    # ---- production-loader end-to-end -------------------------------------
+    # The REAL pipeline: dataset get_item (elastic + voxelize + chromatic
+    # augs) -> BatchBuilder (native fused graph build) -> loader worker
+    # threads with worker-side device_put -> train step. Scene size matches
+    # the fwd/train sections (~180k raw points -> ~106k voxels).
+    from languagegroundedsemseg_tpu.config import Config
+    from languagegroundedsemseg_tpu.data.loader import initialize_data_loader
+    from languagegroundedsemseg_tpu.data.synthetic_dataset import (
+        SyntheticDatasetBase,
+    )
+
+    class BenchSynthetic200Dataset(SyntheticDatasetBase):
+        NUM_SCENES = 8
+        POINTS_PER_SCENE = 180_000
+        NUM_CLASSES = 200
+
+    cfg = Config(batch_size=4, num_workers=2, ignore_label=255)
+    loader = initialize_data_loader(
+        BenchSynthetic200Dataset, cfg, phase="train", num_workers=2,
+        shuffle=True, repeat=True, augment_data=True, batch_size=4,
+        limit_numpoints=cfg.train_limit_numpoints, ship_coords=False,
+    )
+    e2e_warmup, e2e_steps = 4, 20
+    it = iter(loader)
+    # Warmup: populate jit shape-bucket compiles + loader warm state.
+    for _ in range(e2e_warmup):
+        state, metrics = step(state, next(it), key)
+    _sync(metrics["loss"])
+    step_times = []
     t0 = time.perf_counter()
-    train_iters = 5
-    for _ in range(train_iters):
-        state, metrics = step(state, batch, key)
-        _sync(metrics["loss"])
-    train_dt = (time.perf_counter() - t0) / train_iters
-
-    # ---- loader-overlapped end-to-end ------------------------------------
-    # Measured pipeline (PERF.md round 4, "protocol A"): ONE build thread
-    # (the fused native build is mostly GIL-free C++; a second thread only
-    # adds GIL churn on this 1-CPU host) and main-thread H2D double
-    # buffering — dispatch the step (async), device_put the NEXT batch
-    # while the device executes, then sync. Rebuilds the SAME scene set
-    # each step so the host cost repeats honestly with stable jit shapes.
-    import queue
-    import threading
-
-    e2e_steps = 6
-    q: "queue.Queue" = queue.Queue(maxsize=2)
-
-    def producer():
-        for _ in range(e2e_steps):
-            q.put(builder.build(scenes))
-
-    t0 = time.perf_counter()
-    th = threading.Thread(target=producer, daemon=True)
-    th.start()
-    cur = jax.device_put(q.get())
-    n_scenes = 0
     for i in range(e2e_steps):
-        state, metrics = step(state, cur, key)  # async dispatch
-        if i + 1 < e2e_steps:
-            cur = jax.device_put(q.get())  # H2D rides the step's execution
+        b = next(it)  # worker threads build + device_put ahead
+        state, metrics = step(state, b, key)  # async dispatch
         _sync(metrics["loss"])
-        n_scenes += 4
-    e2e_dt = time.perf_counter() - t0
+        step_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+    e2e_dt = sum(step_times)
+    n_scenes = 4 * e2e_steps
     scenes_per_sec = n_scenes / e2e_dt
+    # spread across quarters of the run (each 5 steps)
+    q = e2e_steps // 4
+    quarters = [sum(step_times[j * q:(j + 1) * q]) for j in range(4)]
+    # average valid voxels per scene over the timed batches (counters track
+    # level-0 valid rows per build)
+    counters = loader.counters.snapshot()
+    built = max(counters.get("loader_batches", 1), 1)
+    avg_scene_voxels = loader.counters.level_num_sum.get(0, n_valid) / built / 4
 
     fwd_vps = n_valid / fwd_dt
     train_vps = n_valid / train_dt
-    # GPU-side e2e mark: train-step baseline over the same batch
-    e2e_baseline = TRAIN_BASELINE / (n_valid / 4)
+    # GPU-side e2e mark: train-step baseline over the measured scene size
+    e2e_baseline = TRAIN_BASELINE / max(avg_scene_voxels, 1.0)
     print(
         json.dumps(
             {
@@ -189,13 +243,19 @@ def main():
                 "unit": "voxels/sec/chip",
                 "vs_baseline": round(fwd_vps / FWD_BASELINE, 3),
                 "fwd_ms": round(fwd_dt * 1e3, 1),
+                "fwd_spread": _spread(fwd_reps),
                 "train_step_voxels_per_sec": round(train_vps, 1),
                 "train_step_ms": round(train_dt * 1e3, 1),
                 "train_vs_baseline": round(train_vps / TRAIN_BASELINE, 3),
+                "train_spread": _spread(train_reps),
                 "e2e_scenes_per_sec": round(scenes_per_sec, 3),
                 "e2e_vs_baseline": round(scenes_per_sec / e2e_baseline, 3),
+                "e2e_spread": _spread(quarters),
+                "e2e_avg_scene_voxels": round(avg_scene_voxels, 0),
+                "e2e_loader": "production initialize_data_loader",
                 "host_graph_build_s": round(host_build_warm_s, 2),
                 "host_graph_build_cold_s": round(host_build_cold_s, 2),
+                "h2d_mb_per_batch": round(h2d_mb, 1),
                 "n_voxels": n_valid,
             }
         )

@@ -76,9 +76,92 @@ class BatchBuilder:
     # oracle/parity tests keep exact f32.
     compact_feats: bool = False
     compact_labels: bool = True
+    # Jit-signature stabilization (the production loader turns this on):
+    # without it every batch's flex capacities, window-menu picks, and
+    # pow-2 overflow buckets track that batch's density, so similar scenes
+    # still produce MANY distinct jit signatures — and under a remote
+    # compile service each new signature is minutes of XLA time. With it,
+    # the builder keeps a per-process contract: per-level capacities are
+    # floored at their running max, each map's (tile, win) window geometry
+    # is pinned to first-seen, and overflow-COO arrays are padded (with
+    # semantic no-op guard rows, as the cross-shard harmonization does) to
+    # running maxima. Signatures then change only on monotone growth
+    # events, which decay to zero after a few batches. (The reference gets
+    # this for free: torch tolerates dynamic shapes per batch.)
+    stabilize: bool = False
+
+    def __post_init__(self):
+        import threading
+
+        self._sig_lock = threading.Lock()
+        self._sig_caps: Optional[list] = None
+        self._sig_windows: dict = {}
+        self._sig_ov: dict = {}
 
     def capacities(self, cap0: int) -> Tuple[int, ...]:
         return default_capacities(cap0, self.spec.num_levels, self.level_ratios)
+
+    def _stabilize_signature(self, graph):
+        """Post-build half of the signature contract: fold this build's
+        shapes into the running maxima and pad the overflow-COO arrays up
+        to them (guard rows are semantic no-ops — the same padding the
+        cross-shard harmonization applies, sparse/graph_host.py
+        pad_ms_overflow_to / pad_cs_overflow_to)."""
+        from languagegroundedsemseg_tpu.sparse.graph_host import (
+            pad_cs_overflow_to,
+            pad_ms_overflow_to,
+        )
+        from languagegroundedsemseg_tpu.sparse.types import (
+            ChildSumMap,
+            MaskedShiftMap,
+        )
+
+        with self._sig_lock:
+            caps = [lvl.valid.shape[0] for lvl in graph.levels]
+            if self._sig_caps is None:
+                self._sig_caps = caps
+            else:
+                self._sig_caps = [max(a, b)
+                                  for a, b in zip(self._sig_caps, caps)]
+            gmaps = dict(graph.gmaps or {})
+            changed = False
+            for name, gm in gmaps.items():
+                if isinstance(gm, MaskedShiftMap):
+                    # builds consume the pin as a menu SUFFIX
+                    # (graph_host._menu_from_pin), so the observed choice is
+                    # >= the pin in menu order — recording it keeps the
+                    # contract monotone and convergent
+                    self._sig_windows[name] = (int(gm.tile), int(gm.win))
+                    rec = self._sig_ov.setdefault(
+                        name, {"seg": 0, "n": 0, "dseg": 0, "dn": 0})
+                    seg = max(rec["seg"], int(gm.ov_seg))
+                    dseg = max(rec["dseg"], int(gm.dwov_seg))
+                    n = max(rec["n"], gm.ov_in.shape[0], seg,
+                            (int(gm.ov_off[-1]) + seg)
+                            if gm.ov_in.shape[0] else 0)
+                    dn = max(rec["dn"], gm.dwov_in.shape[0], dseg,
+                             (int(gm.dwov_off[-1]) + dseg)
+                             if gm.dwov_in.shape[0] else 0)
+                    rec.update(seg=seg, n=n, dseg=dseg, dn=dn)
+                    if (n > gm.ov_in.shape[0] or dn > gm.dwov_in.shape[0]
+                            or seg != int(gm.ov_seg)
+                            or dseg != int(gm.dwov_seg)):
+                        gmaps[name] = pad_ms_overflow_to(gm, seg, n, dseg, dn)
+                        changed = True
+                elif isinstance(gm, ChildSumMap):
+                    self._sig_windows[name] = (int(gm.tile), int(gm.win))
+                    rec = self._sig_ov.setdefault(name, {"seg": 0, "n": 0})
+                    seg = max(rec["seg"], int(gm.ov_seg))
+                    n = max(rec["n"], gm.ov_in.shape[0], seg,
+                            (int(gm.ov_off[-1]) + seg)
+                            if gm.ov_in.shape[0] else 0)
+                    rec.update(seg=seg, n=n)
+                    if n > gm.ov_in.shape[0] or seg != int(gm.ov_seg):
+                        gmaps[name] = pad_cs_overflow_to(gm, seg, n)
+                        changed = True
+        if changed:
+            graph = graph.replace(gmaps=gmaps)
+        return graph
 
     def build(
         self,
@@ -162,11 +245,19 @@ class BatchBuilder:
         # guarantee them by construction, and LGS_VALIDATE_GRAPH=1 re-arms
         # them for debugging.
         import os as _os
+        min_caps = pin_windows = None
+        if self.stabilize and flex:
+            with self._sig_lock:
+                min_caps = list(self._sig_caps) if self._sig_caps else None
+                pin_windows = dict(self._sig_windows) or None
         graph = build_graph(coords, self.spec, self.capacities(cap0),
                             layout_out=glay, flex=flex, drop_redundant=flex,
                             validate=_os.environ.get(
                                 "LGS_VALIDATE_GRAPH", "0") == "1",
-                            ship_coords=self.ship_coords)
+                            ship_coords=self.ship_coords,
+                            min_caps=min_caps, pin_windows=pin_windows)
+        if self.stabilize and flex:
+            graph = self._stabilize_signature(graph)
         cap0 = graph.levels[0].valid.shape[0]  # post-flex level-0 capacity
         # Sentinel expansion (sparse/graph_host.py:expand_sentinels) may have
         # interleaved zero rows: real level-0 row i now lives at pos0[i].

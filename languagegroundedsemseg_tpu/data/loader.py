@@ -330,6 +330,11 @@ def initialize_data_loader(
         level_ratios=config.level_capacity_ratios,
         ship_coords=ship_coords,
         compact_feats=True,
+        # Pin jit signatures across batches (data/batching.py): flex
+        # capacities floor at their running max, window geometry pins to
+        # first-seen, overflow buckets pad to running maxima — recompiles
+        # decay to zero instead of tracking per-batch density.
+        stabilize=True,
     )
     return DataLoader(
         dataset,

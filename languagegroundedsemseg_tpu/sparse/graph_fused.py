@@ -191,21 +191,27 @@ def build_graph_fused(
     capacities: Sequence[int],
     layout_out=None,
     ship_coords: bool = True,
+    min_caps: Optional[Sequence[int]] = None,
+    pin_windows=None,
 ) -> Optional[ConvGraph]:
     """Production fast path. Returns None when unavailable or the batch
-    hits a bail-out — the caller then runs the standard path."""
+    hits a bail-out — the caller then runs the standard path.
+
+    min_caps / pin_windows: jit-signature stabilization knobs, same
+    semantics as graph_host.finalize_graph."""
     lib = get_lib()
     nlib = gn.get_lib()
     if lib is None or nlib is None or spec.d != 3:
         return None
     try:
         return _build(lib, nlib, coords0, spec, capacities, layout_out,
-                      ship_coords)
+                      ship_coords, min_caps, pin_windows)
     except _Bail:
         return None
 
 
-def _build(lib, nlib, coords0, spec, capacities, layout_out, ship_coords):
+def _build(lib, nlib, coords0, spec, capacities, layout_out, ship_coords,
+           min_caps=None, pin_windows=None):
     from languagegroundedsemseg_tpu.ops import onehot_conv as _oh
     from languagegroundedsemseg_tpu.ops.msconv import GWIN_MARGIN
 
@@ -254,6 +260,9 @@ def _build(lib, nlib, coords0, spec, capacities, layout_out, ship_coords):
     caps = [flex_bucket(nums[l] + (len(plans[l]["ins_pos"]) if l in plans
                                    else 0))
             for l in range(L)]
+    if min_caps is not None:
+        # signature stabilization: floor at the running max across builds
+        caps = [max(c, int(m)) for c, m in zip(caps, min_caps)]
     new_pos = []
     sent = []
     new_nums = []
@@ -307,8 +316,15 @@ def _build(lib, nlib, coords0, spec, capacities, layout_out, ship_coords):
             raise _Bail
         levels_mc[l] = mc
 
-        menu = np.asarray(gh._WINDOW_MENU, np.int32)
-        max_tiles = cap // int(menu[:, 0].min())
+        pin = (pin_windows or {}).get(pl["name"])
+        if pin is not None:
+            # pinned geometry (signature stabilization): 1-row menu, or an
+            # empty pick when the pin is (0, 0) = gather path
+            menu = (np.asarray([pin], np.int32) if pin[0]
+                    else np.zeros((0, 2), np.int32))
+        else:
+            menu = np.asarray(gh._WINDOW_MENU, np.int32)
+        max_tiles = cap // int(menu[:, 0].min()) if len(menu) else 1
         wstart = np.empty(max_tiles * 8, np.int32)
         inv_wstart = np.empty(max_tiles * 8, np.int32)
         dwc = np.empty(max_ov, np.int32)
@@ -316,15 +332,17 @@ def _build(lib, nlib, coords0, spec, capacities, layout_out, ship_coords):
         dwi = np.empty(max_ov, np.int32)
         n_ovf = np.zeros(1, np.int64)
         n_dw = np.zeros(1, np.int64)
-        mi = lib.lgs_k3_windows(
-            _p32(anchors_abs), cap, n_far, ov_cap,
-            _p32(np.ascontiguousarray(menu[:, 0])),
-            _p32(np.ascontiguousarray(menu[:, 1])), len(menu),
-            _p32(wstart), _p32(inv_wstart),
-            _p32(ovc), _p32(ovo), _p32(ovi),
-            n_ovf.ctypes.data_as(_i64p),
-            _p32(dwc), _p32(dwo), _p32(dwi),
-            n_dw.ctypes.data_as(_i64p), max_ov)
+        mi = -1
+        if len(menu):
+            mi = lib.lgs_k3_windows(
+                _p32(anchors_abs), cap, n_far, ov_cap,
+                _p32(np.ascontiguousarray(menu[:, 0])),
+                _p32(np.ascontiguousarray(menu[:, 1])), len(menu),
+                _p32(wstart), _p32(inv_wstart),
+                _p32(ovc), _p32(ovo), _p32(ovi),
+                n_ovf.ctypes.data_as(_i64p),
+                _p32(dwc), _p32(dwo), _p32(dwi),
+                n_dw.ctypes.data_as(_i64p), max_ov)
         tile = win = 0
         n_tiles = 0
         if mi >= 0:
@@ -428,7 +446,8 @@ def _build(lib, nlib, coords0, spec, capacities, layout_out, ship_coords):
         )
         if (not fused and not ms.kind.transpose and ms.kind.stride > 1):
             cs = _try_child_sum_map(idx, caps[li], companion=ms.companion,
-                                    compact=True)
+                                    compact=True,
+                                    pin_tilewin=(pin_windows or {}).get(name))
             if cs is not None:
                 gmaps[name] = cs
                 if not ms.keep_flat:

@@ -595,6 +595,25 @@ _WINDOW_MENU = (
 )
 
 
+def _menu_from_pin(menu, pin):
+    """Menu suffix for a pinned window (jit-signature stabilization).
+
+    The pin is the contract's current (tile, win) for this map; builds may
+    only move FORWARD in menu order (toward costlier geometries) so the
+    per-map window state is monotone and converges: a denser batch that
+    cannot satisfy the pinned budget upgrades the pin, a sparser batch
+    accepts it. pin == (0, 0) pins the no-window fallback permanently."""
+    if pin is None:
+        return menu
+    if not pin[0]:
+        return ()
+    pin = (int(pin[0]), int(pin[1]))
+    for i, tw in enumerate(menu):
+        if tuple(tw) == pin:
+            return menu[i:]
+    return menu
+
+
 def _percol_windows(anchors, cap, tile, win, cap_in=None, center="median",
                     sort_cache=None):
     """Median-centered per-(tile, column) window starts.
@@ -708,6 +727,7 @@ def _try_masked_shift_map(
     companion=None,
     sent: Optional[dict] = None,
     validate: bool = True,
+    pin_tilewin: Optional[Tuple[int, int]] = None,
 ) -> "Optional[MaskedShiftMap]":
     """Fuse a flat stride-1 k3 map into a MaskedShiftMap (ops/msconv.py),
     or None when the map's shape doesn't fit (non-3-z-columns, asymmetric
@@ -835,7 +855,12 @@ def _try_masked_shift_map(
     tile = win = 0
     sort_cache_f: dict = {}
     sort_cache_i: dict = {}
-    for t_, w_ in _WINDOW_MENU:
+    # pin_tilewin (jit-signature stabilization, data/batching.py): restrict
+    # the menu to the suffix starting at the pinned geometry so repeated
+    # builds of similar batches converge on one window choice (= one
+    # wstart length = one jit signature) while denser batches may still
+    # upgrade it monotonically.
+    for t_, w_ in _menu_from_pin(_WINDOW_MENU, pin_tilewin):
         if cap % t_ or cap < max(2 * t_, w_):
             continue
         ws_f, bad_f = _percol_windows(anchors, cap, t_, w_,
@@ -908,9 +933,15 @@ def _try_parent_map(idx: np.ndarray) -> Optional[ParentMap]:
     parent = np.maximum(parent, 0).astype(np.int32)
     return ParentMap(parent=parent, kslot=kslot, num_slots=k)
 
+_CS_WINDOW_MENU = ((128, 512), (128, 1024), (256, 1024), (256, 2048),
+                   (512, 2048), (512, 4096))
+
+
 def _try_child_sum_map(idx: np.ndarray, cap_in: int,
                        companion=None,
-                       compact: bool = False) -> "Optional[ChildSumMap]":
+                       compact: bool = False,
+                       pin_tilewin: Optional[Tuple[int, int]] = None,
+                       ) -> "Optional[ChildSumMap]":
     """Child-sum annotation for a strided (down) conv map
     (ops/onehot_conv.py:child_sum_conv).
 
@@ -949,8 +980,9 @@ def _try_child_sum_map(idx: np.ndarray, cap_in: int,
     wstart = np.zeros(0, np.int32)
     ov_entries = _EMPTY_ENTRIES
     tile = win = 0
-    for t_, w_ in ((128, 512), (128, 1024), (256, 1024), (256, 2048),
-                   (512, 2048), (512, 4096)):
+    # pinned (tile, win): see _menu_from_pin — monotone menu-suffix
+    # restriction; (0, 0) pins the scatter fallback.
+    for t_, w_ in _menu_from_pin(_CS_WINDOW_MENU, pin_tilewin):
         if cap_out % t_ or cap_out < 2 * t_ or cap_in < w_:
             continue
         n_tiles = cap_out // t_
@@ -1041,6 +1073,8 @@ def finalize_graph(
     flex: bool = False,
     validate: bool = True,
     ship_coords: bool = True,
+    min_caps: Optional[Sequence[int]] = None,
+    pin_windows: Optional[Dict[str, Tuple[int, int]]] = None,
 ) -> ConvGraph:
     """Shared back half of both graph builders (numpy and native): sentinel
     expansion, fused-map construction, and redundant-flat-map dropping over
@@ -1064,6 +1098,13 @@ def finalize_graph(
     capacity was loose. The given ``capacities`` stay the truncation policy;
     callers needing static shapes across batches (multi-device stacking,
     parallel/dp.py:stack_batches) leave flex off.
+
+    min_caps / pin_windows (jit-signature stabilization, data/batching.py
+    BatchBuilder.stabilize): flex capacities are floored at min_caps[l]
+    (monotone running max across builds -> capacity growth events decay),
+    and each named map's window geometry is pinned to its first-seen
+    (tile, win) so the fused maps' array shapes stop tracking per-batch
+    density.
     """
     sent_info = [None] * spec.num_levels
     if fuse and fuse_grouped:
@@ -1073,6 +1114,8 @@ def finalize_graph(
             for l in range(spec.num_levels):
                 need = nums[l] + (len(plans[l][1][0]) if l in plans else 0)
                 new_cap = flex_bucket(need)
+                if min_caps is not None:
+                    new_cap = max(new_cap, int(min_caps[l]))
                 if new_cap == capacities[l]:
                     continue
                 capacities[l] = new_cap
@@ -1184,7 +1227,8 @@ def finalize_graph(
             if not ms.kind.transpose and ms.kind.stride > 1 and fuse_grouped:
                 sw = _try_child_sum_map(
                     idx, capacities[ms.level_in], companion=ms.companion,
-                    compact=not validate and flex)
+                    compact=not validate and flex,
+                    pin_tilewin=(pin_windows or {}).get(name))
                 if sw is not None:
                     gmaps[name] = sw
                 continue
@@ -1197,6 +1241,7 @@ def finalize_graph(
                 mirror_perm=mirror, companion=ms.companion,
                 sent=sent_info[ms.level_in],
                 validate=validate,
+                pin_tilewin=(pin_windows or {}).get(name),
             )
             if gm is not None:
                 gmaps[name] = gm
@@ -1219,6 +1264,8 @@ def build_graph(
     flex: bool = False,
     validate: bool = True,
     ship_coords: bool = True,
+    min_caps: Optional[Sequence[int]] = None,
+    pin_windows: Optional[Dict[str, Tuple[int, int]]] = None,
 ) -> ConvGraph:
     """Build the full ConvGraph for one batch.
 
@@ -1258,7 +1305,7 @@ def build_graph(
         spec, capacities, kept_coords, nums, maps_idx,
         fuse=fuse, fuse_grouped=fuse_grouped, drop_redundant=drop_redundant,
         layout_out=layout_out, flex=flex, validate=validate,
-        ship_coords=ship_coords,
+        ship_coords=ship_coords, min_caps=min_caps, pin_windows=pin_windows,
     )
 
 def pad_ms_overflow_to(m: "MaskedShiftMap", ov_seg: int, n_ov: int,

@@ -153,6 +153,8 @@ def build_graph_native(
     flex: bool = False,
     validate: bool = True,
     ship_coords: bool = True,
+    min_caps: Optional[Sequence[int]] = None,
+    pin_windows=None,
 ) -> ConvGraph:
     """Native-path equivalent of graph_host.build_graph (same outputs):
     the C++ library builds the pyramid and flat kernel maps; the shared
@@ -170,7 +172,8 @@ def build_graph_native(
         )
 
         g = build_graph_fused(coords0, spec, capacities,
-                              layout_out=layout_out, ship_coords=ship_coords)
+                              layout_out=layout_out, ship_coords=ship_coords,
+                              min_caps=min_caps, pin_windows=pin_windows)
         if g is not None:
             return g
     lib = get_lib()
@@ -179,6 +182,7 @@ def build_graph_native(
             coords0, spec, capacities, fuse=fuse, fuse_grouped=fuse_grouped,
             drop_redundant=drop_redundant, layout_out=layout_out, flex=flex,
             validate=validate, ship_coords=ship_coords,
+            min_caps=min_caps, pin_windows=pin_windows,
         )
 
     coords0 = np.ascontiguousarray(coords0, dtype=np.int32)
@@ -220,7 +224,7 @@ def build_graph_native(
         spec, capacities, kept_coords, [int(n) for n in nums], maps_idx,
         fuse=fuse, fuse_grouped=fuse_grouped, drop_redundant=drop_redundant,
         layout_out=layout_out, flex=flex, validate=validate,
-        ship_coords=ship_coords,
+        ship_coords=ship_coords, min_caps=min_caps, pin_windows=pin_windows,
     )
 
 

@@ -149,7 +149,11 @@ class BatchBuilder:
                         gmaps[name] = pad_ms_overflow_to(gm, seg, n, dseg, dn)
                         changed = True
                 elif isinstance(gm, ChildSumMap):
-                    self._sig_windows[name] = (int(gm.tile), int(gm.win))
+                    # cs pins are (n_groups, tile, win) triples matching
+                    # graph_host._CS_MENU; (0, 0, 0) pins scatter mode
+                    self._sig_windows[name] = (
+                        (int(gm.n_groups), int(gm.tile), int(gm.win))
+                        if gm.tile else (0, 0, 0))
                     rec = self._sig_ov.setdefault(name, {"seg": 0, "n": 0})
                     seg = max(rec["seg"], int(gm.ov_seg))
                     n = max(rec["n"], gm.ov_in.shape[0], seg,

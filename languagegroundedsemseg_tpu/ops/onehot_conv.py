@@ -304,11 +304,17 @@ def _tpu_kernels_ok() -> bool:
             g = jnp.ones((cap, c_out), jnp.bfloat16)
             t3b = jnp.ones((cap, 96), jnp.bfloat16)  # unaligned 3C on purpose
             out2 = _run_dw_fused(wstart, anchors, t3b, g, tile, winw, False)
+            # child-sum kernel incl. the n_groups=2 split layout
+            pg = jnp.zeros((2, cap), jnp.int32)
+            ws2 = jnp.zeros((512 // 128 * 2,), jnp.int32)
+            out3 = _run_csum(ws2, pg, pall[:, :c_out], 512, 128, winw, 2,
+                             False)
             # force real execution (block_until_ready alone can return
             # early under the axon relay)
             return bool(
                 _np.isfinite(float(out[0, 0]))
                 and _np.isfinite(float(out2[0, 0, 0]))
+                and _np.isfinite(float(out3[0, 0]))
             )
 
         try:
@@ -321,7 +327,10 @@ def _tpu_kernels_ok() -> bool:
             import concurrent.futures as _cf
 
             with _cf.ThreadPoolExecutor(max_workers=1) as _ex:
-                _TPU_PROBE["ok"] = _ex.submit(_probe).result(timeout=600)
+                # generous: a cold remote compile of the probe kernels can
+                # take minutes under axon, and a TIMEOUT here pins the
+                # whole process to the ~2x-slower gather paths
+                _TPU_PROBE["ok"] = _ex.submit(_probe).result(timeout=1200)
         except Exception as e:  # noqa: BLE001 — any failure: don't route here
             _TPU_PROBE["ok"] = False
             _TPU_PROBE["error"] = repr(e)
@@ -571,18 +580,20 @@ class CSMeta(NamedTuple):
     tile: int
     win: int
     interpret: bool
+    n_groups: int = 1
 
 
-def _csum_vmem_estimate(tile: int, win: int, c_out: int) -> int:
+def _csum_vmem_estimate(tile: int, win: int, c_out: int,
+                        n_groups: int = 1) -> int:
     """Per-step VMEM for the child-sum kernel: it allocates ONE shared
-    double-buffered projection window (not one per slot like the k3 kernel
-    modeled by _vmem_estimate) + the parent windows + selector + out tile."""
-    return (
-        2 * win * c_out * 2   # (2, win, c_run) bf16 projection window
-        + 2 * win * 4         # (2, 1, win) int32 parent window
+    double-buffered projection window per slot GROUP (not one per slot
+    like the k3 kernel modeled by _vmem_estimate) + the parent windows +
+    selector + out tile."""
+    return n_groups * (
+        2 * win * c_out * 2   # (2, g, win, c_run) bf16 projection windows
+        + 2 * win * 4         # (2, g, 1, win) int32 parent windows
         + tile * win * 2      # selector one-hot (bf16 intermediate)
-        + 2 * tile * c_out * 4  # out tile f32 + acc headroom
-    )
+    ) + 2 * tile * c_out * 4  # out tile f32 + acc headroom
 
 
 def _ov_fwd_plain(x, w, ov_in, ov_out, ov_off, n_out, ov_seg):
@@ -604,74 +615,103 @@ def _ov_fwd_plain(x, w, ov_in, ov_out, ov_off, n_out, ov_seg):
     )[:-1]
 
 
-def _csum_kernel(cap_out, wstart_ref, parent_ref, p_ref, out_ref, win, pwin,
-                 sem, psem):
-    """out_tile = S @ P_win with S[o, i] = (parent_win[i] == o).
+def _csum_kernel(cap_out, n_groups, wstart_ref, *refs):
+    """out_tile = sum_g S_g @ P_win_g with S_g[o, i] = (parent_g_win[i] == o).
 
-    ONE windowed sum-matmul per output tile (vs one per (tile, slot) in a
-    per-slot selection design — 8x less window DMA). parent rides as a
-    (1, cap_in) int32 row whose window slice broadcasts across the tile's
-    output rows; rows with no pair carry parent = cap_out (never matches).
-    Double-buffered like _sel_fwd_kernel.
+    ONE windowed sum-matmul per (output tile, slot group) — vs one per
+    (tile, slot) in a per-slot selection design, 8x less window DMA.
+    Each group's parent rides as its own (1, cap_in) int32 row (Mosaic
+    cannot 1-row-slice a stacked (G, cap_in) int32 memref: sublane tiling
+    is 2) whose window slice broadcasts across the tile's output rows;
+    rows with no pair IN THAT GROUP carry parent = cap_out (never
+    matches), so groups can never double-count a pair. Double-buffered
+    like _sel_fwd_kernel.
     """
+    parent_refs = refs[:n_groups]
+    p_ref, out_ref, win, pwin, sem, psem = refs[n_groups:]
     t = pl.program_id(0)
     nt = pl.num_programs(0)
     b = out_ref.shape[0]
-    wn = win.shape[1]
+    wn = win.shape[2]
 
-    def dma(slot, tile_i):
-        ws = pl.multiple_of(wstart_ref[tile_i], 128)
+    def dma(slot, tile_i, g):
+        ws = pl.multiple_of(wstart_ref[tile_i * n_groups + g], 128)
         return (
-            pltpu.make_async_copy(p_ref.at[pl.ds(ws, wn), :], win.at[slot],
-                                  sem.at[slot]),
-            pltpu.make_async_copy(parent_ref.at[:, pl.ds(ws, wn)],
-                                  pwin.at[slot], psem.at[slot]),
+            pltpu.make_async_copy(p_ref.at[pl.ds(ws, wn), :],
+                                  win.at[slot, g], sem.at[slot, g]),
+            pltpu.make_async_copy(parent_refs[g].at[:, pl.ds(ws, wn)],
+                                  pwin.at[slot, g], psem.at[slot, g]),
         )
 
     @pl.when(t == 0)
     def _first():
-        for d in dma(0, t):
-            d.start()
+        for g in range(n_groups):
+            for d in dma(0, t, g):
+                d.start()
 
     @pl.when(t + 1 < nt)
     def _next():
-        for d in dma((t + 1) % 2, t + 1):
-            d.start()
+        for g in range(n_groups):
+            for d in dma((t + 1) % 2, t + 1, g):
+                d.start()
 
     slot = t % 2
-    for d in dma(slot, t):
-        d.wait()
     rows = t * b + lax.broadcasted_iota(jnp.int32, (b, wn), 0)
-    sel = (pwin[slot] == rows).astype(jnp.bfloat16)
-    out_ref[:] = jnp.dot(sel, win[slot], preferred_element_type=jnp.float32)
+    acc = None
+    for g in range(n_groups):
+        for d in dma(slot, t, g):
+            d.wait()
+        sel = (pwin[slot, g] == rows).astype(jnp.bfloat16)
+        part = jnp.dot(sel, win[slot, g], preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    out_ref[:] = acc
 
 
-def _run_csum(wstart, parent, pall, cap_out, tile, winw, interpret):
+def _run_csum(wstart, parent_g, pall, cap_out, tile, winw, n_groups,
+              interpret):
     cap_in, c_run = pall.shape
     n_tiles = cap_out // tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # parent (1, cap_in)
-            pl.BlockSpec(memory_space=pl.ANY),  # pall
+            # per-group parent rows (1, cap_in), then pall
+            *([pl.BlockSpec(memory_space=pl.ANY)] * n_groups),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tile, c_run), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, winw, c_run), jnp.bfloat16),
-            pltpu.VMEM((2, 1, winw), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, n_groups, winw, c_run), jnp.bfloat16),
+            pltpu.VMEM((2, n_groups, 1, winw), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, n_groups)),
+            pltpu.SemaphoreType.DMA((2, n_groups)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_csum_kernel, cap_out),
+        functools.partial(_csum_kernel, cap_out, n_groups),
         out_shape=jax.ShapeDtypeStruct((cap_out, c_run), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(wstart, parent.reshape(1, cap_in), pall)
+    )(wstart, *(parent_g[g].reshape(1, cap_in) for g in range(n_groups)),
+      pall)
+
+
+def _parent_groups(parent, kslot, n_slots, n_groups, cap_out):
+    """(n_groups, cap_in) per-group parent rows for the windowed kernel:
+    group g keeps rows whose slot falls in its contiguous slot range
+    (k2s2 with n_groups=2: the offset's dx half — see
+    graph_host._try_child_sum_map); all other rows (including kslot ==
+    n_slots guards) read the never-matching cap_out."""
+    cap_in = parent.shape[0]
+    if n_groups == 1:
+        return parent.reshape(1, cap_in)
+    gsz = n_slots // n_groups
+    grp = (kslot // gsz).astype(jnp.int32)  # guards land at n_groups
+    gids = jnp.arange(n_groups, dtype=jnp.int32)[:, None]
+    return jnp.where(grp[None, :] == gids, parent[None, :],
+                     jnp.int32(cap_out))
 
 
 def _cs_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
@@ -688,8 +728,9 @@ def _cs_fwd_impl(x, w, wstart, parent, kslot, ov_in, ov_out, ov_off,
     wflat = jnp.concatenate([w[j] for j in range(k)],
                             axis=0).astype(jnp.bfloat16)
     pall = jnp.dot(xk, wflat, preferred_element_type=jnp.bfloat16)
-    acc = _run_csum(wstart, parent, pall, cap_out, meta.tile, meta.win,
-                    meta.interpret)
+    parent_g = _parent_groups(parent, kslot, k, meta.n_groups, cap_out)
+    acc = _run_csum(wstart, parent_g, pall, cap_out, meta.tile, meta.win,
+                    meta.n_groups, meta.interpret)
     return acc + _ov_fwd_plain(x, w, ov_in, ov_out, ov_off, cap_out,
                                meta.ov_seg)
 
@@ -774,6 +815,7 @@ def _cs_route(csmap, c_out, cap_in, interpret):
     tile == 0 meaning the scatter fallback. Never refuses: the (parent,
     kslot) partition alone is a complete representation of the map."""
     tile, winw = int(getattr(csmap, "tile", 0)), int(getattr(csmap, "win", 0))
+    n_groups = int(getattr(csmap, "n_groups", 1))
     c_pad = (-c_out) % 128
     c_run = c_out + c_pad
     use_kernel = tile > 0 and csmap.wstart.size > 0
@@ -784,7 +826,8 @@ def _cs_route(csmap, c_out, cap_in, interpret):
             interpret = False
     if use_kernel and (csmap.out_capacity % tile or cap_in < winw):
         use_kernel = False
-    if use_kernel and _csum_vmem_estimate(tile, winw, c_run) > VMEM_BUDGET:
+    if use_kernel and _csum_vmem_estimate(tile, winw, c_run,
+                                          n_groups) > VMEM_BUDGET:
         use_kernel = False
     if not use_kernel:
         tile = winw = 0
@@ -819,7 +862,8 @@ def child_sum_conv(x, w, csmap, bias=None, interpret=None):
     tile, winw, c_pad, interpret = _cs_route(csmap, w.shape[2], x.shape[0],
                                              interpret)
     cap_out = csmap.out_capacity
-    meta = CSMeta(csmap.num_slots, int(csmap.ov_seg), tile, winw, interpret)
+    meta = CSMeta(csmap.num_slots, int(csmap.ov_seg), tile, winw, interpret,
+                  int(getattr(csmap, "n_groups", 1)) if tile else 1)
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad))) if c_pad else w
     out = _cs_core(x, wp, csmap.wstart, _abs_parent(csmap),
                    csmap.kslot, csmap.ov_in, csmap.ov_out, csmap.ov_off,
@@ -903,7 +947,8 @@ def transpose_child_sum_conv(x, w, csmap, bias=None, interpret=None):
     routing checks the kernel budget at Cin."""
     tile, winw, _, interpret = _cs_route(csmap, w.shape[1],
                                          int(csmap.in_capacity), interpret)
-    meta = CSMeta(csmap.num_slots, int(csmap.ov_seg), tile, winw, interpret)
+    meta = CSMeta(csmap.num_slots, int(csmap.ov_seg), tile, winw, interpret,
+                  int(getattr(csmap, "n_groups", 1)) if tile else 1)
     out = _tcs_core(x, w, csmap.wstart, _abs_parent(csmap), csmap.kslot,
                     csmap.ov_in, csmap.ov_out, csmap.ov_off,
                     csmap.out_capacity, meta)

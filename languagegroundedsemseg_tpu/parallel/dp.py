@@ -61,8 +61,8 @@ def stack_batches(batches):
         for n in keep:
             ms = [g.gmaps[n] for g in graphs]
             if all(isinstance(m, ChildSumMap) for m in ms):
-                if len({(m.num_slots, m.tile, m.win, m.out_capacity_s,
-                         m.in_capacity) for m in ms}) != 1:
+                if len({(m.num_slots, m.tile, m.win, m.n_groups,
+                         m.out_capacity_s, m.in_capacity) for m in ms}) != 1:
                     continue
                 if len({_sig(m) for m in ms}) == 1:
                     continue

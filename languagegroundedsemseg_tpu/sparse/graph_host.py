@@ -589,6 +589,12 @@ def expand_sentinels(
 # the forward and the inverse/dW tiling) wins. Out-of-window anchors are
 # routed into the small overflow COO (and guarded in the anchors array so
 # no path double counts) instead of disabling the kernel outright.
+# Geometry constraints learned the hard way (round 5): Mosaic HANGS
+# (not errors) compiling the k3 selector kernel at tile=128 and at
+# fractional lane-tile window widths (320, 448) — only the shipped
+# (tile >= 256, win a multiple of 512/tile... ) combinations below are
+# proven to compile. Do not add smaller k3 windows without a standalone
+# compile trial first (scripts/bench_onehot_pallas.py).
 _WINDOW_MENU = (
     (256, 512), (512, 1024), (256, 1024),
     (1024, 2048), (512, 2048), (1024, 4096),
@@ -607,7 +613,7 @@ def _menu_from_pin(menu, pin):
         return menu
     if not pin[0]:
         return ()
-    pin = (int(pin[0]), int(pin[1]))
+    pin = tuple(int(v) for v in pin)
     for i, tw in enumerate(menu):
         if tuple(tw) == pin:
             return menu[i:]
@@ -933,8 +939,21 @@ def _try_parent_map(idx: np.ndarray) -> Optional[ParentMap]:
     parent = np.maximum(parent, 0).astype(np.int32)
     return ParentMap(parent=parent, kslot=kslot, num_slots=k)
 
-_CS_WINDOW_MENU = ((128, 512), (128, 1024), (256, 1024), (256, 2048),
-                   (512, 2048), (512, 4096))
+# (n_groups, tile, win) in ascending selector-FLOP order (cost scales with
+# n_groups * win; DMA with n_groups * win / tile). Split entries (n_groups
+# = 2, slots halved by the offset's leading axis) engage when the whole
+# map's children interleave two far-apart input bands (the L0->L1 down
+# conv: fine x = 2X and 2X+1 planes) — per-group windows are ~5x tighter.
+_CS_MENU = (
+    (1, 128, 512),
+    (1, 128, 1024), (1, 256, 1024),
+    (1, 256, 2048), (1, 512, 2048),
+    (2, 128, 1024),
+    (1, 512, 4096),
+    (2, 128, 2048), (2, 256, 2048),
+    (2, 256, 4096),
+    (1, 256, 8192), (1, 512, 8192),
+)
 
 
 def _try_child_sum_map(idx: np.ndarray, cap_in: int,
@@ -980,29 +999,40 @@ def _try_child_sum_map(idx: np.ndarray, cap_in: int,
     wstart = np.zeros(0, np.int32)
     ov_entries = _EMPTY_ENTRIES
     tile = win = 0
-    # pinned (tile, win): see _menu_from_pin — monotone menu-suffix
-    # restriction; (0, 0) pins the scatter fallback.
-    for t_, w_ in _menu_from_pin(_CS_WINDOW_MENU, pin_tilewin):
+    n_groups = 1
+    # pinned (n_groups, tile, win): see _menu_from_pin — monotone
+    # menu-suffix restriction; (0, 0, 0) pins the scatter fallback.
+    for g_, t_, w_ in _menu_from_pin(_CS_MENU, pin_tilewin):
         if cap_out % t_ or cap_out < 2 * t_ or cap_in < w_:
+            continue
+        if k % g_:
             continue
         n_tiles = cap_out // t_
         tid = child_out // t_
-        lo = np.full(n_tiles, np.int64(cap_in))
-        hi = np.full(n_tiles, np.int64(-1))
-        np.minimum.at(lo, tid, ins)
-        np.maximum.at(hi, tid, ins)
+        gsz = k // g_
+        grp = child_slot // gsz
         # all-empty tiles get a proportional default position
         default = (np.arange(n_tiles, dtype=np.int64) * t_
                    * max(cap_in // cap_out, 1))
-        mid = np.where(hi >= 0, (lo + hi) // 2, default)
-        # 128-aligned starts: Mosaic lane slices of the (1, cap_in) parent
-        # row need lane-tile alignment
-        ws = np.clip(mid - w_ // 2, 0, cap_in - w_) & ~np.int64(127)
-        bad = (ins < ws[tid]) | (ins >= ws[tid] + w_)
+        ws_all = np.zeros((n_tiles, g_), np.int64)
+        bad = np.zeros(len(ins), bool)
+        for gi in range(g_):
+            sel = grp == gi if g_ > 1 else slice(None)
+            tid_g, ins_g = tid[sel], ins[sel]
+            lo = np.full(n_tiles, np.int64(cap_in))
+            hi = np.full(n_tiles, np.int64(-1))
+            np.minimum.at(lo, tid_g, ins_g)
+            np.maximum.at(hi, tid_g, ins_g)
+            mid = np.where(hi >= 0, (lo + hi) // 2, default)
+            # 128-aligned starts: Mosaic lane slices of the (n_groups,
+            # cap_in) parent rows need lane-tile alignment
+            ws = np.clip(mid - w_ // 2, 0, cap_in - w_) & ~np.int64(127)
+            ws_all[:, gi] = ws
+            bad[sel] = (ins_g < ws[tid_g]) | (ins_g >= ws[tid_g] + w_)
         if bad.sum() <= ov_cap:
             ov_entries = (child_slot[bad], child_out[bad], ins[bad])
-            wstart = ws.astype(np.int32)
-            tile, win = t_, w_
+            wstart = ws_all.reshape(-1).astype(np.int32)  # tile-major
+            tile, win, n_groups = t_, w_, g_
             break
     # tile == 0 (no window config fits) still returns a map: the (parent,
     # kslot) partition alone is complete — the conv runs the scatter
@@ -1039,6 +1069,7 @@ def _try_child_sum_map(idx: np.ndarray, cap_in: int,
         num_slots=k, out_capacity_s=int(cap_out),
         ov_seg=int(ov_seg), tile=int(tile), win=int(win),
         in_capacity=int(cap_in), companion=companion,
+        n_groups=int(n_groups),
     )
 
 

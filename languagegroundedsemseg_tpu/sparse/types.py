@@ -235,7 +235,17 @@ class ChildSumMap:
 
     ov_*: out-of-window entries, column(slot)-major segments, same device
     format as MaskedShiftMap.ov_* but gathering plain x rows.
-    wstart: (n_tiles,) int32 — 128-aligned window starts over input rows.
+    wstart: (n_tiles * n_groups,) int32, tile-major — 128-aligned window
+    starts over input rows.
+
+    n_groups > 1 splits the slots into contiguous groups of
+    num_slots/n_groups (k2s2: group == the offset's dx half) with one
+    window per (tile, group): children of one output split into one
+    near-monotone input band per dx value, so per-group windows are ~5x
+    tighter than one window over the interleaved union
+    (graph_host._try_child_sum_map measures and the menu decides). The
+    kernel derives each group's parent row from kslot on device — no
+    extra wire bytes.
     """
 
     wstart: jnp.ndarray
@@ -257,6 +267,7 @@ class ChildSumMap:
     win: int = struct.field(pytree_node=False, default=0)
     in_capacity: int = struct.field(pytree_node=False, default=0)
     companion: Optional[str] = struct.field(pytree_node=False, default=None)
+    n_groups: int = struct.field(pytree_node=False, default=1)
 
     @property
     def out_capacity(self) -> int:

@@ -150,6 +150,8 @@ def main():
         tot = dt * count * 1e3
         total += tot
         rows.append((label, path_holder.get("p", "?"), in_lvl, cin, cout, count, dt * 1e3, tot))
+        print(f"... {label:12s} {rows[-1][1]:7s} {dt * 1e3:8.2f} ms/call",
+              flush=True)
 
     print(f"{'layer':12s} {'path':7s} {'lvl':3s} {'cin':4s} {'cout':4s} {'n':2s} {'ms/call':>8s} {'total':>8s}")
     for r in rows:

@@ -238,3 +238,69 @@ def test_slot_window_down_conv_matches_flat():
                                atol=3e-2)
     np.testing.assert_allclose(np.asarray(gw2) / sw_, np.asarray(gw1) / sw_,
                                atol=3e-2)
+
+
+def test_grouped_slot_windows_match_flat():
+    """n_groups=2 child-sum windows (one per dx slot-half,
+    graph_host._CS_MENU split entries) vs the flat gather path, forward
+    and grads through the interpret kernel. Pins the builder at the
+    (2, 128, 1024) menu entry so the split engages even though the small
+    test map would normally satisfy a whole-map window."""
+    from languagegroundedsemseg_tpu.ops.onehot_conv import child_sum_conv
+    from languagegroundedsemseg_tpu.sparse.graph_host import (
+        _try_child_sum_map,
+    )
+    from languagegroundedsemseg_tpu.sparse.offsets import ConvKind as CK
+    from languagegroundedsemseg_tpu.sparse.types import ChildSumMap
+
+    rng = np.random.default_rng(11)
+    coords = make_cloud(rng, n=2600, extent=40)
+    coords = coords[np.argsort(pack_keys(coords), kind="stable")]
+    spec = GraphSpec(
+        num_levels=2,
+        maps={
+            "k3": MapSpec(0, 0, ConvKind(3), fuse_width=3),
+            "down0": MapSpec(0, 1, CK(kernel_size=2, stride=2)),
+        },
+    )
+    g = build_graph(coords, spec, (4096, 2048), drop_redundant=False)
+    km = g.maps["down0"]
+    cap_in = g.levels[0].capacity
+    sw = _try_child_sum_map(np.asarray(km.idx), cap_in,
+                            pin_tilewin=(2, 128, 1024))
+    assert isinstance(sw, ChildSumMap)
+    assert sw.n_groups == 2 and sw.tile == 128 and sw.win == 1024
+    n_tiles = sw.out_capacity // sw.tile
+    assert sw.wstart.shape == (n_tiles * 2,)
+
+    cin, cout = 16, 24
+    x = np.zeros((cap_in, cin), np.float32)
+    n0 = int(g.levels[0].num)
+    x[:n0] = rng.normal(size=(n0, cin))
+    x *= np.asarray(g.gmaps["k3"].mc)[:, None] if "k3" in g.gmaps else 1.0
+    w = rng.normal(size=(8, cin, cout)).astype(np.float32) * 0.2
+    x = jnp.asarray(x)
+    wj = jnp.asarray(w)
+
+    from languagegroundedsemseg_tpu.ops.spconv import sparse_conv
+
+    ref = sparse_conv(x, wj, km.idx, None, center_slot=km.center_slot)
+    out = child_sum_conv(x, wj, sw, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss_flat(x, w):
+        return (sparse_conv(x, w, km.idx, None,
+                            center_slot=km.center_slot) ** 2).sum()
+
+    def loss_sw(x, w):
+        return (child_sum_conv(x, w, sw, interpret=True) ** 2).sum()
+
+    gx1, gw1 = jax.grad(loss_flat, (0, 1))(x, wj)
+    gx2, gw2 = jax.grad(loss_sw, (0, 1))(x, wj)
+    sx = np.abs(np.asarray(gx1)).max() + 1e-6
+    sw_ = np.abs(np.asarray(gw1)).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(gx2) / sx, np.asarray(gx1) / sx,
+                               atol=3e-2)
+    np.testing.assert_allclose(np.asarray(gw2) / sw_, np.asarray(gw1) / sw_,
+                               atol=3e-2)

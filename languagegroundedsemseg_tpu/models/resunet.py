@@ -28,14 +28,32 @@ def broadcast_from_level(x, graph: ConvGraph, level: int):
     """Upsample level-``level`` features to L0 by chaining the k2s2
     transpose parent maps (the equivalent of ME's MinkowskiPoolingTranspose
     used by the Hyper variant)."""
+    from languagegroundedsemseg_tpu.ops.onehot_conv import _abs_parent
+    from languagegroundedsemseg_tpu.sparse.types import ChildSumMap
+
     out = x
     for l in range(level, 0, -1):
         pm = graph.gmaps.get(f"up{l}")
+        km = graph.maps.get(f"up{l}")
+        cs = None
+        if pm is None and km is not None and km.companion:
+            # up maps served through the companion down map's ChildSumMap
+            # carry no gmap entry of their own, and drop_redundant builds
+            # dummy their flat table to 1 wide — the down partition's
+            # (parent, kslot) is the broadcast map (fine row -> coarse
+            # parent), guards masked out
+            cand = graph.gmaps.get(km.companion)
+            if isinstance(cand, ChildSumMap):
+                cs = cand
         if isinstance(pm, ParentMap):
             parent = pm.parent
             valid = (pm.kslot < pm.num_slots)[:, None]
+        elif cs is not None:
+            parent = _abs_parent(cs)
+            valid = (cs.kslot < cs.num_slots)[:, None]
+            parent = jnp.minimum(parent, out.shape[0] - 1)
         else:
-            idx = graph.maps[f"up{l}"].idx
+            idx = km.idx
             parent = jnp.max(idx, axis=0)
             valid = (parent >= 0)[:, None]
             parent = jnp.maximum(parent, 0)

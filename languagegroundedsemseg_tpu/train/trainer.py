@@ -107,8 +107,12 @@ class Trainer:
             num_workers=config.num_val_workers, shuffle=False, repeat=False,
             augment_data=False, batch_size=config.val_batch_size,
             limit_numpoints=config.train_limit_numpoints, num_devices=self.n_dev,
+            # every config that can trigger _dump_batch_predictions (see
+            # test(): save_prediction | visualize | test_original_pointcloud)
+            # needs device-side coords on the val batches
             ship_coords=needs_coords or bool(config.visualize)
-            or bool(config.save_prediction),
+            or bool(config.save_prediction)
+            or bool(config.test_original_pointcloud),
         )
         self.dataset = self.train_loader.dataset
         self.num_labels = self.dataset.num_train_labels
